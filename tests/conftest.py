@@ -1,0 +1,14 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Must set env vars before the first ``import jax`` anywhere in the test
+session; pytest imports conftest.py first, so this is the right place.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
