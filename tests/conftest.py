@@ -6,7 +6,9 @@ session; pytest imports conftest.py first, so this is the right place.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment presets JAX_PLATFORMS=axon (the real
+# TPU tunnel), which must not be used for unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
