@@ -1,0 +1,204 @@
+"""PolynomialBatch — the FRI oracle: a batch of polynomials committed via
+coset-LDE + Merkle tree, plus batch opening-proof production.
+
+TPU redesign of plonky2/src/fri/oracle.rs:33-360: the polynomial batch
+is a device-resident [num_polys, N] limb pair; IFFT/LDE/transpose/
+bit-reverse/Merkle are fused device work (ops.fri_kernels); the opening
+reduction (final-poly construction) runs as extension-weighted sums and
+a log-depth synthetic-division scan on device. Host code only drives the
+transcript and the query-phase gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import extension as ge
+from ..field import goldilocks as gl
+from ..hash.challenger import Challenger
+from ..ops import fri_kernels as fk
+from ..ops import gf, merkle, ntt
+from ..utils.bits import log2_strict, reverse_bits
+from .config import FriParams
+from .proof import FriProof
+from .structure import FriInstanceInfo
+
+SALT_SIZE = 4
+
+
+@dataclass
+class PolynomialBatch:
+    """polynomials: device coeffs [num_polys, N]; merkle_tree leaves are
+    point-major bit-reversed LDE rows [lde_n, num_polys]."""
+
+    polynomials: gf.Gf
+    merkle_tree: merkle.DeviceMerkleTree
+    degree_log: int
+    rate_bits: int
+    blinding: bool
+
+    @property
+    def num_polys(self) -> int:
+        return self.polynomials[0].shape[0]
+
+    @staticmethod
+    def from_values(
+        values: gf.Gf, rate_bits: int, blinding: bool, cap_height: int
+    ) -> "PolynomialBatch":
+        coeffs = jax.jit(ntt.ifft)(values)
+        return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding, cap_height)
+
+    @staticmethod
+    def from_coeffs(
+        coeffs: gf.Gf, rate_bits: int, blinding: bool, cap_height: int
+    ) -> "PolynomialBatch":
+        assert not blinding, "zk blinding lands in a later round"
+        degree = coeffs[0].shape[-1]
+        tree = fk.commit(coeffs, rate_bits, cap_height)
+        return PolynomialBatch(
+            polynomials=coeffs,
+            merkle_tree=tree,
+            degree_log=log2_strict(degree),
+            rate_bits=rate_bits,
+            blinding=blinding,
+        )
+
+    def get_lde_values(self, index: int, step: int = 1) -> List[int]:
+        """LDE row at point index*step (leaf order is bit-reversed,
+        oracle.rs:286-292)."""
+        idx = reverse_bits(index * step, self.degree_log + self.rate_bits)
+        row = self.merkle_tree.leaf_u64(idx)
+        return [int(x) for x in row]
+
+    def cap_u64(self) -> np.ndarray:
+        return self.merkle_tree.cap_u64()
+
+    def eval_all_at_ext(self, zeta: Tuple[int, ...]) -> List[Tuple[int, ...]]:
+        """Evaluate every polynomial at an extension point (for OpeningSet).
+
+        Device: Horner over coefficients is sequential, so evaluate via the
+        power basis: p(z) = sum_i c_i z^i = two weighted sums of coefficient
+        columns with host-precomputed z-powers."""
+        n = self.polynomials[0].shape[-1]
+        # powers of zeta (host, ext), then componentwise weighted sums
+        pows = [ge.ext_one(2)]
+        for _ in range(n - 1):
+            pows.append(ge.ext_mul(pows[-1], zeta))
+        pw = np.array(pows, dtype=np.uint64)  # [N, 2]
+        w0 = gf.from_u64(pw[:, 0])
+        w1 = gf.from_u64(pw[:, 1])
+        # p_j(z) = sum_i c_{j,i} * z^i ; components via weighted sums along N
+        coeffs_t = (self.polynomials[0].T, self.polynomials[1].T)  # [N, M]
+        e0 = gf.weighted_sum(coeffs_t, w0)  # [M]
+        e1 = gf.weighted_sum(coeffs_t, w1)
+        u0 = gf.to_u64(e0)
+        u1 = gf.to_u64(e1)
+        return [(int(a), int(b)) for a, b in zip(u0, u1)]
+
+
+def _expression_weights(
+    instance: FriInstanceInfo,
+    alpha: Tuple[int, ...],
+) -> Tuple[List[Dict[Tuple[int, int], Tuple[int, ...]]], List[int]]:
+    """Per batch: accumulated extension weight for each (oracle, poly),
+    mirroring ReducingFactor bookkeeping (alpha^k per opening expression,
+    expression coefficients folded in). Returns (per-batch weight maps,
+    per-batch opening counts)."""
+    weight_maps = []
+    counts = []
+    for batch in instance.batches:
+        wmap: Dict[Tuple[int, int], Tuple[int, ...]] = {}
+        apow = ge.ext_one(2)
+        for k, expr in enumerate(batch.openings):
+            for term in expr.terms:
+                c = term.coefficient
+                if c.kind == "one":
+                    coeff = apow
+                elif c.kind == "point_power":
+                    coeff = ge.ext_mul(apow, ge.ext_exp(batch.point, c.power))
+                else:
+                    coeff = ge.ext_mul(apow, c.constant)
+                key = (term.polynomial.oracle_index, term.polynomial.polynomial_index)
+                wmap[key] = ge.ext_add(wmap.get(key, ge.ext_zero(2)), coeff)
+            apow = ge.ext_mul(apow, alpha)
+        weight_maps.append(wmap)
+        counts.append(len(batch.openings))
+    return weight_maps, counts
+
+
+def reduce_openings_to_final_poly(
+    instance: FriInstanceInfo,
+    oracles: Sequence[PolynomialBatch],
+    alpha: Tuple[int, ...],
+) -> gf.Gf:
+    """final_poly = sum over batches of alpha-shifted linear-combination
+    quotients (oracle.rs:129-165 reduce_openings_to_unmasked_final_poly).
+    Returns extension coeffs [N, 2] on device."""
+    n = oracles[0].polynomials[0].shape[-1]
+    for o in oracles:
+        assert o.polynomials[0].shape[-1] == n
+    weight_maps, counts = _expression_weights(instance, alpha)
+
+    final: Optional[gf.Gf] = None
+    for b, (wmap, cnt) in enumerate(zip(weight_maps, counts)):
+        point = instance.batches[b].point
+        # composition poly = sum of weighted base polys, per oracle
+        comp: Optional[gf.Gf] = None
+        by_oracle: Dict[int, List[Tuple[int, Tuple[int, ...]]]] = {}
+        for (oi, pi), w in wmap.items():
+            by_oracle.setdefault(oi, []).append((pi, w))
+        for oi, items in sorted(by_oracle.items()):
+            items.sort()
+            sel = np.array([pi for pi, _ in items], dtype=np.int32)
+            weights = np.array([w for _, w in items], dtype=np.uint64)  # [k, 2]
+            polys = (
+                jnp.take(oracles[oi].polynomials[0], sel, axis=0),
+                jnp.take(oracles[oi].polynomials[1], sel, axis=0),
+            )
+            part = fk.composition_poly(polys, weights)  # [N, 2]
+            comp = part if comp is None else gf.add(comp, part)
+        quotient = fk.divide_by_linear_ext(comp, point)  # [N, 2]
+        if final is None:
+            final = quotient
+        else:
+            shift = ge.ext_exp(alpha, cnt)
+            final = gf.add(fk.ext_poly_mul_const(final, shift), quotient)
+    return final
+
+
+def prove_openings(
+    instance: FriInstanceInfo,
+    oracles: Sequence[PolynomialBatch],
+    challenger: Challenger,
+    fri_params: FriParams,
+    final_poly_coeff_len: Optional[int] = None,
+    max_num_query_steps: Optional[int] = None,
+) -> FriProof:
+    """Batch opening proof (oracle.rs:320-358 prove_openings)."""
+    from .prover import fri_proof  # local import to avoid cycle
+
+    alpha = challenger.get_extension_challenge(2)
+    final_poly = reduce_openings_to_final_poly(instance, oracles, alpha)
+
+    # pad to LDE size and evaluate on the shifted coset
+    lde_size = fri_params.lde_size
+    n = final_poly[0].shape[0]
+    assert n <= lde_size
+    pad = [(0, lde_size - n), (0, 0)]
+    lde_coeffs = (jnp.pad(final_poly[0], pad), jnp.pad(final_poly[1], pad))
+    lde_values = fk.ext_coset_fft(lde_coeffs)
+
+    return fri_proof(
+        [o.merkle_tree for o in oracles],
+        lde_coeffs,
+        lde_values,
+        challenger,
+        fri_params,
+        final_poly_coeff_len,
+        max_num_query_steps,
+    )

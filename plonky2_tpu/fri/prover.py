@@ -1,0 +1,167 @@
+"""FRI proof generation: commit-phase folds, PoW grind, query rounds.
+
+Host drives the transcript; all O(N) math is device kernels
+(reference: plonky2/src/fri/prover.rs:24-268).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..field import extension as ge
+from ..field import goldilocks as gl
+from ..hash.challenger import Challenger
+from ..hash.poseidon import NUM_HASH_OUT_ELTS, SPONGE_RATE
+from ..ops import fri_kernels as fk
+from ..ops import gf, merkle
+from .config import FriConfig, FriParams
+from .proof import (
+    FriInitialTreeProof,
+    FriProof,
+    FriQueryRound,
+    FriQueryStep,
+    MerkleProof,
+)
+
+
+def fri_proof(
+    initial_merkle_trees: Sequence[merkle.DeviceMerkleTree],
+    lde_polynomial_coeffs: gf.Gf,  # extension [lde_n, 2]
+    lde_polynomial_values: gf.Gf,  # extension [lde_n, 2]
+    challenger: Challenger,
+    fri_params: FriParams,
+    final_poly_coeff_len: Optional[int] = None,
+    max_num_query_steps: Optional[int] = None,
+) -> FriProof:
+    n = lde_polynomial_values[0].shape[0]
+    assert lde_polynomial_coeffs[0].shape[0] == n
+
+    # Commit phase
+    trees, final_poly = _fri_committed_trees(
+        lde_polynomial_coeffs,
+        lde_polynomial_values,
+        challenger,
+        fri_params,
+        max_num_query_steps,
+    )
+
+    # Observe final polynomial (+ zero padding for unified recursion)
+    for c in final_poly:
+        challenger.observe_extension_element(c)
+    if final_poly_coeff_len is not None:
+        for _ in range(len(final_poly), final_poly_coeff_len):
+            challenger.observe_extension_element((0, 0))
+
+    # PoW phase
+    pow_witness = _fri_proof_of_work(challenger, fri_params.config)
+
+    # Query phase
+    query_indices = [
+        c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)
+    ]
+    query_rounds = [
+        _query_round(initial_merkle_trees, trees, xi, fri_params)
+        for xi in query_indices
+    ]
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap_u64() for t in trees],
+        query_round_proofs=query_rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
+
+
+def _fri_committed_trees(
+    coeffs: gf.Gf,
+    values: gf.Gf,
+    challenger: Challenger,
+    fri_params: FriParams,
+    max_num_query_steps: Optional[int],
+):
+    trees: List[merkle.DeviceMerkleTree] = []
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    arities = fri_params.reduction_arity_bits
+    for step, arity_bits in enumerate(arities):
+        arity = 1 << arity_bits
+        tree = fk.commit_phase_tree(values, arity_bits, fri_params.config.cap_height)
+        challenger.observe_cap(tree.cap_u64())
+        trees.append(tree)
+
+        beta = challenger.get_extension_challenge(2)
+        beta_pows = [ge.ext_one(2)]
+        for _ in range(arity - 1):
+            beta_pows.append(ge.ext_mul(beta_pows[-1], beta))
+        coeffs = fk.fold_coeffs(
+            coeffs, gf.from_u64(np.array(beta_pows, dtype=np.uint64)), arity_bits
+        )
+        if step + 1 == len(arities):
+            continue
+        shift = gl.gexp(shift, arity)
+        # re-evaluate on the reduced coset
+        comp = (coeffs[0].T, coeffs[1].T)
+        from ..ops import ntt
+
+        vals = ntt.coset_fft(comp, shift)
+        values = (vals[0].T, vals[1].T)
+
+    # Zero-cap padding rounds for unified recursion
+    if max_num_query_steps is not None:
+        zero_cap = [[0] * NUM_HASH_OUT_ELTS] * (1 << fri_params.config.cap_height)
+        for _ in range(len(arities), max_num_query_steps):
+            challenger.observe_cap(zero_cap)
+            challenger.get_extension_challenge(2)
+
+    # Drop the (all-zero) LDE padding coefficients
+    final_len = coeffs[0].shape[0] >> fri_params.config.rate_bits
+    fc = gf.to_u64((coeffs[0][:final_len], coeffs[1][:final_len]))
+    final_poly = [(int(a), int(b)) for a, b in fc]
+    return trees, final_poly
+
+
+def _fri_proof_of_work(challenger: Challenger, config: FriConfig) -> int:
+    """Deterministic grind: the smallest witness w with >= pow_bits leading
+    zeros in the duplex response (prover.rs:159-208; find_any replaced by a
+    batched device scan that returns the first hit)."""
+    state = list(challenger.sponge_state)
+    witness_pos = len(challenger.input_buffer)
+    for i, x in enumerate(challenger.input_buffer):
+        state[i] = x
+    witness = fk.pow_grind(state, witness_pos, config.proof_of_work_bits)
+    # Confirm via the real transcript (also advances it)
+    challenger.observe_element(witness)
+    response = challenger.get_challenge()
+    assert _leading_zeros64(response) >= config.proof_of_work_bits
+    return witness
+
+
+def _leading_zeros64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _query_round(
+    initial_trees: Sequence[merkle.DeviceMerkleTree],
+    trees: Sequence[merkle.DeviceMerkleTree],
+    x_index: int,
+    fri_params: FriParams,
+) -> FriQueryRound:
+    evals_proofs = []
+    for t in initial_trees:
+        leaf = [int(v) for v in t.leaf_u64(x_index)]
+        proof = MerkleProof(t.prove(x_index))
+        evals_proofs.append((leaf, proof))
+    steps = []
+    xi = x_index
+    for i, arity_bits in enumerate(fri_params.reduction_arity_bits):
+        t = trees[i]
+        coset_index = xi >> arity_bits
+        flat = [int(v) for v in t.leaf_u64(coset_index)]
+        evals = [tuple(flat[2 * k : 2 * k + 2]) for k in range(len(flat) // 2)]
+        steps.append(FriQueryStep(evals=evals, merkle_proof=MerkleProof(t.prove(coset_index))))
+        xi = coset_index
+    return FriQueryRound(
+        initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+        steps=steps,
+    )

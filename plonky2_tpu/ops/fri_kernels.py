@@ -1,0 +1,183 @@
+"""Device kernels for the FRI protocol: commitment LDE+Merkle, opening
+reduction, coefficient folds, extension-poly coset FFT, PoW grinding.
+
+These are the TPU replacements for the rayon hot loops in
+plonky2/src/fri/{oracle.rs,prover.rs}. All polynomial math stays
+device-resident; the host only sees caps, query gathers and tiny final
+polynomials.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..utils.bits import reverse_index_bits_perm
+from . import gf, merkle, ntt
+from .poseidon import SPONGE_RATE
+
+
+# ---------------------------------------------------------------------------
+# Oracle commitment: coeffs [M, N] -> LDE leaves [lde_n, M] + Merkle levels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1,))
+def lde_leaves(coeffs: gf.Gf, rate_bits: int) -> gf.Gf:
+    """Coset-LDE all polynomials and lay out point-major Merkle leaves:
+    row i = all polys evaluated at domain index rev(i)
+    (reference: fri/oracle.rs:193-223 from_coeffs)."""
+    vals = ntt.lde_onto_coset(coeffs, rate_bits)  # [M, lde_n]
+    lo = vals[0].T  # [lde_n, M]
+    hi = vals[1].T
+    idx = reverse_index_bits_perm(lo.shape[0])
+    return jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
+
+
+def commit(coeffs: gf.Gf, rate_bits: int, cap_height: int) -> merkle.DeviceMerkleTree:
+    leaves = lde_leaves(coeffs, rate_bits)
+    return merkle.build_merkle_tree(leaves, cap_height)
+
+
+# ---------------------------------------------------------------------------
+# Opening reduction -> final polynomial (oracle.rs:129-165)
+# ---------------------------------------------------------------------------
+
+
+def composition_poly(polys: gf.Gf, weights_ext) -> gf.Gf:
+    """sum_i w_i * p_i with extension weights over base polys [M, N]
+    -> extension poly [N, 2]."""
+    w = np.asarray(weights_ext, dtype=np.uint64)  # [M, 2]
+    w0 = gf.from_u64(w[:, 0])
+    w1 = gf.from_u64(w[:, 1])
+    c0 = gf.weighted_sum(polys, w0)  # [N]
+    c1 = gf.weighted_sum(polys, w1)
+    return jnp.stack([c0[0], c1[0]], axis=-1), jnp.stack([c0[1], c1[1]], axis=-1)
+
+
+def divide_by_linear_ext(coeffs: gf.Gf, z) -> gf.Gf:
+    """(p(X) - p(z)) / (X - z) as an [N, 2] extension poly (the top
+    coefficient is zero-padded, matching oracle.rs:157-158)."""
+    s = gf.ext2_affine_suffix_scan(coeffs, z)  # [N, 2], s[k] = horner prefix
+    qlo = s[0][::-1][1:]
+    qhi = s[1][::-1][1:]
+    pad = [(0, 1), (0, 0)]
+    return jnp.pad(qlo, pad), jnp.pad(qhi, pad)
+
+
+def ext_poly_mul_const(p: gf.Gf, c) -> gf.Gf:
+    cc = gf.ext2_const(c)
+    return gf.ext2_mul(p, (jnp.broadcast_to(cc[0], p[0].shape), jnp.broadcast_to(cc[1], p[1].shape)))
+
+
+def ext_poly_add(a: gf.Gf, b: gf.Gf) -> gf.Gf:
+    return gf.add(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Extension-poly coset FFT: [N, 2] -> values [N, 2]
+# (FFT twiddles/shift are base-field, so components transform independently)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def ext_coset_fft(coeffs: gf.Gf) -> gf.Gf:
+    comp = (coeffs[0].T, coeffs[1].T)  # [2, N]
+    vals = ntt.coset_fft(comp)
+    return vals[0].T, vals[1].T
+
+
+# ---------------------------------------------------------------------------
+# Commit-phase fold (fri/prover.rs:110-121)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fold_coeffs(coeffs: gf.Gf, beta_powers: gf.Gf, arity_bits: int) -> gf.Gf:
+    """new_coeffs[i] = sum_j beta^j * coeffs[arity*i + j] (extension).
+
+    beta_powers: [arity, 2] limb pair of (1, beta, ..., beta^(arity-1))."""
+    arity = 1 << arity_bits
+    n = coeffs[0].shape[0]
+    clo = coeffs[0].reshape(n // arity, arity, 2)
+    chi = coeffs[1].reshape(n // arity, arity, 2)
+    blo, bhi = beta_powers
+    acc = gf.zeros((n // arity, 2))
+    for j in range(arity):
+        term = gf.ext2_mul(
+            (clo[:, j, :], chi[:, j, :]),
+            (
+                jnp.broadcast_to(blo[j], (n // arity, 2)),
+                jnp.broadcast_to(bhi[j], (n // arity, 2)),
+            ),
+        )
+        acc = gf.add(acc, term)
+    return acc
+
+
+@jax.jit
+def bitrev_chunk_leaves_identity(values: gf.Gf) -> gf.Gf:
+    idx = reverse_index_bits_perm(values[0].shape[0])
+    return jnp.take(values[0], idx, axis=0), jnp.take(values[1], idx, axis=0)
+
+
+def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int):
+    """Bit-reverse extension values [n, 2], chunk into arity-cosets and
+    commit: leaves [n/arity, arity*2] (fri/prover.rs:95-105)."""
+    n = values[0].shape[0]
+    arity = 1 << arity_bits
+    rlo, rhi = bitrev_chunk_leaves_identity(values)
+    leaves = (rlo.reshape(n // arity, arity * 2), rhi.reshape(n // arity, arity * 2))
+    return merkle.build_merkle_tree(leaves, cap_height)
+
+
+# ---------------------------------------------------------------------------
+# Proof-of-work grind (fri/prover.rs:159-208) — deterministic smallest witness
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pow_chunk(state_lohi, start, witness_pos: int, pow_bits: int):
+    """Try CHUNK consecutive candidates; return (found_any, first_index)."""
+    chunk = 1 << 17
+    slo, shi = state_lohi  # [12]
+    # candidate value = start64 + i; start64 arrives as two u32 limbs
+    base_lo, base_hi = start
+    clo = base_lo + jnp.arange(chunk, dtype=jnp.uint32)
+    carry = (clo < base_lo).astype(gf.U32)
+    chi = base_hi + carry
+    states_lo = jnp.broadcast_to(slo, (chunk, 12))
+    states_hi = jnp.broadcast_to(shi, (chunk, 12))
+    states_lo = states_lo.at[:, witness_pos].set(clo)
+    states_hi = states_hi.at[:, witness_pos].set(chi)
+    from . import poseidon as dp
+
+    out_lo, out_hi = dp.permute((states_lo, states_hi))
+    resp_hi = out_hi[:, SPONGE_RATE - 1]
+    resp_lo = out_lo[:, SPONGE_RATE - 1]
+    if pow_bits <= 32:
+        ok = resp_hi < gf.U32(1 << (32 - pow_bits)) if pow_bits > 0 else jnp.ones_like(resp_hi, dtype=bool)
+    else:
+        ok = (resp_hi == 0) & (resp_lo < gf.U32(1 << (64 - pow_bits)))
+    found = jnp.any(ok)
+    first = jnp.argmax(ok)
+    return found, first
+
+
+def pow_grind(state12, witness_pos: int, pow_bits: int) -> int:
+    """Find the smallest witness w such that duplexing the state with w at
+    witness_pos yields a response with >= pow_bits leading zeros."""
+    s = gf.from_u64(np.asarray(state12, dtype=np.uint64))
+    chunk = 1 << 17
+    start = 0
+    while True:
+        base = (gf.U32(start & 0xFFFF_FFFF), gf.U32(start >> 32))
+        found, first = _pow_chunk(s, base, witness_pos, pow_bits)
+        if bool(found):
+            return start + int(first)
+        start += chunk
+        assert start < (1 << 40), "PoW grind failed (astronomically unlikely)"

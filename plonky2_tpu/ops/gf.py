@@ -307,3 +307,77 @@ def ext2_scalar_mul(a: Gf, s: Gf) -> Gf:
     slo = s[0][..., None]
     shi = s[1][..., None]
     return mul(a, (jnp.broadcast_to(slo, a[0].shape), jnp.broadcast_to(shi, a[1].shape)))
+
+
+def ext2_const(c) -> Gf:
+    """Host extension tuple -> (lo, hi) pair of shape-(2,) constants."""
+    x = np.asarray(c, dtype=np.uint64)
+    return (
+        jnp.asarray((x & np.uint64(0xFFFF_FFFF)).astype(np.uint32)),
+        jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+_M16_ = U32(0xFFFF)
+
+
+def sum_mod_p(a: Gf, axis: int = 0) -> Gf:
+    """Sum canonical field elements along an axis, exactly mod p.
+
+    Uses 16-bit half-plane partial sums so a plain jnp.sum cannot
+    overflow (requires the summed axis length < 2^16), then a single
+    carry-recombination + Goldilocks reduction. This is the TPU
+    replacement for the reference's sequential accumulate+reduce160
+    pattern (core/src/poseidon.rs:37-52)."""
+    lo, hi = a
+    n = lo.shape[axis]
+    assert n < (1 << 16), "sum_mod_p axis too long"
+    s0l = jnp.sum(lo & _M16_, axis=axis, dtype=U32)
+    s0h = jnp.sum(lo >> U32(16), axis=axis, dtype=U32)
+    s1l = jnp.sum(hi & _M16_, axis=axis, dtype=U32)
+    s1h = jnp.sum(hi >> U32(16), axis=axis, dtype=U32)
+    w0, c = _addc(s0l, (s0h & _M16_) << U32(16))
+    carry0 = c + (s0h >> U32(16))
+    w1a, c1 = _addc(s1l, (s1h & _M16_) << U32(16))
+    w1, c2 = _addc(w1a, carry0)
+    w2 = c1 + c2 + (s1h >> U32(16))
+    return reduce128(w0, w1, w2, jnp.zeros_like(w2))
+
+
+def weighted_sum(polys: Gf, weights: Gf) -> Gf:
+    """sum_i weights[i] * polys[i] over the leading axis, exactly mod p.
+
+    polys: [M, ...]; weights: [M]. The per-row scaling is one fused
+    vector multiply; the reduction uses sum_mod_p."""
+    wlo = weights[0].reshape((-1,) + (1,) * (polys[0].ndim - 1))
+    whi = weights[1].reshape((-1,) + (1,) * (polys[1].ndim - 1))
+    prod = mul(polys, (jnp.broadcast_to(wlo, polys[0].shape), jnp.broadcast_to(whi, polys[1].shape)))
+    return sum_mod_p(prod, axis=0)
+
+
+def ext2_affine_suffix_scan(coeffs: Gf, z) -> Gf:
+    """Synthetic division helper: given extension coefficients [N, 2] and an
+    extension point z, return the Horner prefix values over the reversed
+    coefficients, i.e. s_k = z*s_{k-1} + c_{N-1-k} as [N, 2].
+
+    Log-depth via associative_scan over affine maps (x -> z*x + c), the
+    TPU replacement for the reference's sequential scan
+    (field/src/polynomial/division.rs:75-88 divide_by_linear)."""
+    n = coeffs[0].shape[0]
+    rlo = coeffs[0][::-1]
+    rhi = coeffs[1][::-1]
+    zc = ext2_const(z)
+    mlo = jnp.broadcast_to(zc[0], (n, 2))
+    mhi = jnp.broadcast_to(zc[1], (n, 2))
+
+    def combine(c1, c2):
+        (m1l, m1h, a1l, a1h), (m2l, m2h, a2l, a2h) = c1, c2
+        m = ext2_mul((m1l, m1h), (m2l, m2h))
+        t = ext2_mul((a1l, a1h), (m2l, m2h))
+        a = add(t, (a2l, a2h))
+        return (m[0], m[1], a[0], a[1])
+
+    _, _, slo, shi = jax.lax.associative_scan(
+        combine, (mlo, mhi, rlo, rhi), axis=0
+    )
+    return slo, shi

@@ -1,0 +1,108 @@
+"""Device-resident Merkle trees with caps (TPU redesign).
+
+The reference builds 2^cap_height independent subtrees with a recursive
+task-parallel fill into one flat digest buffer
+(core/src/merkle_tree.rs:85-144). On TPU the natural layout is
+*level-major*: ``levels[k]`` is a ``[n >> (k+1), 4]`` digest batch, built
+bottom-up with one batched two-to-one compression per level. Subtree
+parallelism falls out for free (every row of a level is independent);
+under a mesh the leaf axis is sharded and the last ``log2(shards)``
+levels ride an all-gather (see plonky2_tpu.parallel).
+
+Proof extraction (merkle_tree_prove, core/src/merkle_tree.rs:187) becomes
+a tiny gather per level at host-chosen indices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bits import log2_strict
+from . import gf
+from . import poseidon as dp
+
+
+def build_merkle_tree(leaves: gf.Gf, cap_height: int) -> "DeviceMerkleTree":
+    """Hash a [n, w] leaf batch into a device-resident tree."""
+    n = leaves[0].shape[0]
+    height = log2_strict(n)
+    assert cap_height <= height
+    digests = dp.hash_leaf(leaves)  # [n, 4]
+    levels = [digests]
+    for _ in range(height - cap_height):
+        cur = levels[-1]
+        left = (cur[0][0::2], cur[1][0::2])
+        right = (cur[0][1::2], cur[1][1::2])
+        levels.append(dp.two_to_one(left, right))
+    return DeviceMerkleTree(leaves=leaves, levels=levels, cap_height=cap_height)
+
+
+@jax.jit
+def _gather_row(lo, hi, idx):
+    return lo[idx], hi[idx]
+
+
+@dataclass
+class DeviceMerkleTree:
+    """levels[0] = leaf digests [n, 4]; levels[k+1] = compress(levels[k]);
+    levels[-1] = cap."""
+
+    leaves: gf.Gf
+    levels: List[gf.Gf]
+    cap_height: int
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0][0].shape[0]
+
+    @property
+    def cap(self) -> gf.Gf:
+        return self.levels[-1]
+
+    def cap_u64(self) -> np.ndarray:
+        return np.asarray(gf.to_u64(self.cap)).reshape(-1, 4)
+
+    def leaf_u64(self, index: int) -> np.ndarray:
+        lo, hi = _gather_row(self.leaves[0], self.leaves[1], index)
+        return gf.to_u64((lo, hi))
+
+    def prove(self, leaf_index: int) -> List[Tuple[int, int, int, int]]:
+        """Sibling digests from leaf level up to (excluding) the cap."""
+        sibs = []
+        idx = leaf_index
+        for level in self.levels[:-1]:
+            sib = idx ^ 1
+            lo, hi = _gather_row(level[0], level[1], sib)
+            row = gf.to_u64((lo, hi))
+            sibs.append(tuple(int(x) for x in row))
+            idx >>= 1
+        return sibs
+
+
+# ---------------------------------------------------------------------------
+# Host-side verification (reference: core/src/merkle_proofs.rs)
+# ---------------------------------------------------------------------------
+
+
+def verify_merkle_proof(
+    leaf_data: Sequence[int],
+    leaf_index: int,
+    cap: np.ndarray,
+    siblings: Sequence[Tuple[int, int, int, int]],
+) -> bool:
+    from ..hash import poseidon as hp
+
+    digest = hp.hash_leaf(list(leaf_data))
+    idx = leaf_index
+    for sib in siblings:
+        if idx & 1:
+            digest = hp.two_to_one(sib, digest)
+        else:
+            digest = hp.two_to_one(digest, sib)
+        idx >>= 1
+    return tuple(int(x) for x in cap[idx]) == digest
