@@ -140,10 +140,15 @@ def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int):
 # ---------------------------------------------------------------------------
 
 
+def _pow_chunk_size(pow_bits: int) -> int:
+    """~e^-4 miss probability per chunk, capped for memory."""
+    return max(1 << 10, min(1 << 17, 1 << (pow_bits + 2)))
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _pow_chunk(state_lohi, start, witness_pos: int, pow_bits: int):
-    """Try CHUNK consecutive candidates; return (found_any, first_index)."""
-    chunk = 1 << 17
+    """Try a chunk of consecutive candidates; return (found_any, first_index)."""
+    chunk = _pow_chunk_size(pow_bits)
     slo, shi = state_lohi  # [12]
     # candidate value = start64 + i; start64 arrives as two u32 limbs
     base_lo, base_hi = start
@@ -172,7 +177,7 @@ def pow_grind(state12, witness_pos: int, pow_bits: int) -> int:
     """Find the smallest witness w such that duplexing the state with w at
     witness_pos yields a response with >= pow_bits leading zeros."""
     s = gf.from_u64(np.asarray(state12, dtype=np.uint64))
-    chunk = 1 << 17
+    chunk = _pow_chunk_size(pow_bits)
     start = 0
     while True:
         base = (gf.U32(start & 0xFFFF_FFFF), gf.U32(start >> 32))
