@@ -1,0 +1,110 @@
+"""Single-source constraint algebra.
+
+The reference implements every gate's constraints three times (native
+extension, packed base batch, in-circuit —
+plonky2/src/gates/gate.rs:53-230). Here each gate implements its
+constraints ONCE against an abstract algebra, instantiated as:
+
+  * HostExtAlgebra — exact extension-field tuples, used by the verifier
+    at zeta (and by gate unit tests);
+  * DeviceBatchAlgebra — batched (lo, hi) u32 limb arrays over all LDE
+    points, used by the quotient kernel (pure vectorized VPU work);
+  * (later) CircuitAlgebra — ExtensionTargets, for the recursive verifier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from ..field import extension as ge
+from ..field.goldilocks import P
+from ..ops import gf
+
+
+class HostExtAlgebra:
+    """Elements are D=2 extension tuples of ints."""
+
+    def const(self, c: int):
+        return ge.from_base(c, 2)
+
+    def zero(self):
+        return ge.ext_zero(2)
+
+    def one(self):
+        return ge.ext_one(2)
+
+    def add(self, a, b):
+        return ge.ext_add(a, b)
+
+    def sub(self, a, b):
+        return ge.ext_sub(a, b)
+
+    def mul(self, a, b):
+        return ge.ext_mul(a, b)
+
+    def neg(self, a):
+        return ge.ext_neg(a)
+
+    def mul_const(self, a, c: int):
+        return ge.ext_scalar_mul(a, c % P)
+
+    def add_const(self, a, c: int):
+        return ge.ext_add(a, self.const(c))
+
+    def sub_from_const(self, c: int, a):
+        return ge.ext_sub(self.const(c), a)
+
+    def exp_const(self, a, e: int):
+        return ge.ext_exp(a, e)
+
+
+class DeviceBatchAlgebra:
+    """Elements are (lo, hi) u32 arrays of shape [B] (base field)."""
+
+    def __init__(self, batch_size: int):
+        self.b = batch_size
+
+    def const(self, c: int):
+        return gf.full((self.b,), c)
+
+    def zero(self):
+        return gf.zeros((self.b,))
+
+    def one(self):
+        return gf.ones((self.b,))
+
+    def add(self, a, b):
+        return gf.add(a, b)
+
+    def sub(self, a, b):
+        return gf.sub(a, b)
+
+    def mul(self, a, b):
+        return gf.mul(a, b)
+
+    def neg(self, a):
+        return gf.neg(a)
+
+    def mul_const(self, a, c: int):
+        return gf.mul_const(a, c)
+
+    def add_const(self, a, c: int):
+        return gf.add(a, self.const(c))
+
+    def sub_from_const(self, c: int, a):
+        return gf.sub(self.const(c), a)
+
+    def exp_const(self, a, e: int):
+        return gf.exp_const(a, e)
+
+
+@dataclass
+class EvalVars:
+    """Gate-visible evaluation variables (selectors already stripped)."""
+
+    local_constants: Sequence
+    local_wires: Sequence
+    public_inputs_hash: Sequence  # 4 algebra elements
