@@ -37,6 +37,14 @@ class Gate:
     def eval_unfiltered(self, vars: EvalVars, A) -> List:
         raise NotImplementedError
 
+    def eval_unfiltered_device(self, vars: EvalVars, A) -> List:
+        """Device-batch constraint eval. Default: the generic single-source
+        path. Hot gates (Poseidon) override with a lane-stacked/scanned
+        implementation to keep the traced XLA graph small — the analogue of
+        the reference's separate packed eval (gate.rs:105-130), pinned to
+        eval_unfiltered by gate_testing.check_algebra_agreement."""
+        return self.eval_unfiltered(vars, A)
+
     def generators(self, row: int, local_constants: Sequence[int]) -> List:
         raise NotImplementedError
 

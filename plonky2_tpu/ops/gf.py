@@ -381,3 +381,32 @@ def ext2_affine_suffix_scan(coeffs: Gf, z) -> Gf:
         combine, (mlo, mhi, rlo, rhi), axis=0
     )
     return slo, shi
+
+
+def powers_scan(x: Gf, n: int) -> Gf:
+    """[1, x, x^2, ..., x^{n-1}] as a log-depth associative scan.
+
+    x: scalar Gf (shape ()). Replaces sequentially traced power chains
+    (compile-time killer) with one scan (~log2 n fused muls)."""
+    lo = jnp.concatenate([jnp.ones(1, U32), jnp.broadcast_to(x[0], (n - 1,))])
+    hi = jnp.concatenate([jnp.zeros(1, U32), jnp.broadcast_to(x[1], (n - 1,))])
+    return jax.lax.associative_scan(lambda a, b: mul(a, b), (lo, hi))
+
+
+def prod_mod_p(a: Gf, axis: int = 0) -> Gf:
+    """Product along an axis via log-depth pairwise folding (exact)."""
+    lo, hi = a
+    n = lo.shape[axis]
+    lo = jnp.moveaxis(lo, axis, 0)
+    hi = jnp.moveaxis(hi, axis, 0)
+    while n > 1:
+        half = n // 2
+        a2 = mul((lo[:half], hi[:half]), (lo[half : 2 * half], hi[half : 2 * half]))
+        if n % 2:
+            lo = jnp.concatenate([a2[0], lo[-1:]])
+            hi = jnp.concatenate([a2[1], hi[-1:]])
+            n = half + 1
+        else:
+            lo, hi = a2
+            n = half
+    return lo[0], hi[0]

@@ -42,10 +42,16 @@ def _gate_constraint_terms(common, A, local_constants, local_wires, pis_hash):
     gate_consts = local_constants[num_sel + common.num_lookup_selectors :]
     vars = EvalVars(gate_consts, local_wires, pis_hash)
     combined = [A.zero() for _ in range(common.num_gate_constraints)]
+    device = isinstance(A, DeviceBatchAlgebra)
     for gate_idx, gate in enumerate(common.gates):
         sel = si.selector_indices[gate_idx]
         filt = compute_filter(A, gate_idx, si.groups[sel], local_constants[sel], many)
-        for k, c in enumerate(gate.eval_unfiltered(vars, A)):
+        evals = (
+            gate.eval_unfiltered_device(vars, A)
+            if device
+            else gate.eval_unfiltered(vars, A)
+        )
+        for k, c in enumerate(evals):
             combined[k] = A.add(combined[k], A.mul(filt, c))
     return combined
 
@@ -201,6 +207,11 @@ def quotient_values_fn(common):
     # quotient_degree_factor is a power of two in practice; next_step = qdf
     assert next_step == common.quotient_degree_factor
 
+    nr = common.config.num_routed_wires
+    num_prods = common.num_partial_products
+    chunk = common.permutation_partial_product_degree()
+    k_arr = np.array(common.k_is, dtype=np.uint64)
+
     def fn(cs_nat, wires_nat, zs_pp_nat, shifted_xs, l0, zh_inv, betas, gammas, alphas, pis_hash):
         # all *_nat are (lo,hi) pairs with shape [num_polys, lde_n]
         b = cs_nat[0].shape[1]
@@ -211,33 +222,7 @@ def quotient_values_fn(common):
 
         consts_all = rows(cs_nat)
         local_constants = consts_all[: common.num_constants]
-        s_sigmas = consts_all[common.num_constants :]
         local_wires = rows(wires_nat)
-        zs_pp = rows(zs_pp_nat)
-        local_zs = zs_pp[: nc]
-        partial_products = zs_pp[nc : nc * (1 + common.num_partial_products)]
-        # next-row Zs: roll the value arrays by next_step along the domain
-        next_zs = [
-            (
-                jnp.roll(zs_pp_nat[0][i], -next_step, axis=-1),
-                jnp.roll(zs_pp_nat[1][i], -next_step, axis=-1),
-            )
-            for i in range(nc)
-        ]
-        x = (shifted_xs[0], shifted_xs[1])
-        l_0_x = (l0[0], l0[1])
-        beta_elems = [(betas[0][i], betas[1][i]) for i in range(nc)]
-        beta_elems = [
-            (jnp.broadcast_to(lo, (b,)), jnp.broadcast_to(hi, (b,)))
-            for lo, hi in beta_elems
-        ]
-        gamma_elems = [
-            (
-                jnp.broadcast_to(gammas[0][i], (b,)),
-                jnp.broadcast_to(gammas[1][i], (b,)),
-            )
-            for i in range(nc)
-        ]
         pis = [
             (
                 jnp.broadcast_to(pis_hash[0][i], (b,)),
@@ -245,26 +230,84 @@ def quotient_values_fn(common):
             )
             for i in range(4)
         ]
-
-        terms = _vanishing_terms(
-            common, A, x, l_0_x, local_constants, local_wires, pis,
-            local_zs, next_zs, partial_products, s_sigmas,
-            beta_elems, gamma_elems, A.one(),
+        constraint_terms = _gate_constraint_terms(
+            common, A, local_constants, local_wires, pis
         )
-        t_lo = jnp.stack([t[0] for t in terms])  # [T, B]
-        t_hi = jnp.stack([t[1] for t in terms])
-        num_terms = len(terms)
+
+        # --- permutation-argument terms, lane-stacked ---------------------
+        x = (shifted_xs[0], shifted_xs[1])  # [B]
+        l_0_x = (l0[0], l0[1])
+        one = gf.ones((b,))
+        wires80 = (wires_nat[0][:nr], wires_nat[1][:nr])  # [nr,B]
+        sigmas80 = (
+            cs_nat[0][common.num_constants :],
+            cs_nat[1][common.num_constants :],
+        )
+        k_c = gf.from_u64(k_arr)  # [nr]
+        s_id = gf.mul(
+            (k_c[0][:, None], k_c[1][:, None]), (x[0][None], x[1][None])
+        )  # [nr,B]
+
+        z1_terms = []
+        pp_term_blocks = []
+        for i in range(nc):
+            beta = (betas[0][i], betas[1][i])
+            gamma = (gammas[0][i], gammas[1][i])
+            beta_b = (
+                jnp.broadcast_to(beta[0], s_id[0].shape),
+                jnp.broadcast_to(beta[1], s_id[1].shape),
+            )
+            gamma_b = (
+                jnp.broadcast_to(gamma[0], s_id[0].shape),
+                jnp.broadcast_to(gamma[1], s_id[1].shape),
+            )
+            nums = gf.add(wires80, gf.add(gf.mul(beta_b, s_id), gamma_b))
+            dens = gf.add(wires80, gf.add(gf.mul(beta_b, sigmas80), gamma_b))
+            nums_c = gf.prod_mod_p(
+                (nums[0].reshape(nr // chunk, chunk, b), nums[1].reshape(nr // chunk, chunk, b)),
+                axis=1,
+            )  # [nr/chunk, B]
+            dens_c = gf.prod_mod_p(
+                (dens[0].reshape(nr // chunk, chunk, b), dens[1].reshape(nr // chunk, chunk, b)),
+                axis=1,
+            )
+            z_x = (zs_pp_nat[0][i], zs_pp_nat[1][i])
+            z_gx = (
+                jnp.roll(zs_pp_nat[0][i], -next_step, axis=-1),
+                jnp.roll(zs_pp_nat[1][i], -next_step, axis=-1),
+            )
+            pstart = nc + i * num_prods
+            accs = (
+                jnp.concatenate(
+                    [z_x[0][None], zs_pp_nat[0][pstart : pstart + num_prods], z_gx[0][None]]
+                ),
+                jnp.concatenate(
+                    [z_x[1][None], zs_pp_nat[1][pstart : pstart + num_prods], z_gx[1][None]]
+                ),
+            )  # [num_prods+2, B]
+            pp_cons = gf.sub(
+                gf.mul((accs[0][:-1], accs[1][:-1]), nums_c),
+                gf.mul((accs[0][1:], accs[1][1:]), dens_c),
+            )  # [nr/chunk, B]
+            z1_terms.append(gf.mul(l_0_x, gf.sub(z_x, one)))
+            pp_term_blocks.append(pp_cons)
+
+        t_lo = jnp.concatenate(
+            [jnp.stack([t[0] for t in z1_terms])]
+            + [blk[0] for blk in pp_term_blocks]
+            + [jnp.stack([t[0] for t in constraint_terms])]
+        )  # [T, B]
+        t_hi = jnp.concatenate(
+            [jnp.stack([t[1] for t in z1_terms])]
+            + [blk[1] for blk in pp_term_blocks]
+            + [jnp.stack([t[1] for t in constraint_terms])]
+        )
+        num_terms = t_lo.shape[0]
 
         out_lo, out_hi = [], []
         for i in range(nc):
             alpha = (alphas[0][i], alphas[1][i])
-            # alpha powers [T]
-            pows_lo, pows_hi = [jnp.ones((), gf.U32)], [jnp.zeros((), gf.U32)]
-            for _ in range(num_terms - 1):
-                nxt = gf.mul((pows_lo[-1], pows_hi[-1]), alpha)
-                pows_lo.append(nxt[0])
-                pows_hi.append(nxt[1])
-            w = (jnp.stack(pows_lo), jnp.stack(pows_hi))
+            w = gf.powers_scan(alpha, num_terms)
             red = gf.weighted_sum((t_lo, t_hi), w)  # [B]
             q = gf.mul(red, (zh_inv[0], zh_inv[1]))
             out_lo.append(q[0])
