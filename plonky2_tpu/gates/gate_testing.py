@@ -149,13 +149,14 @@ def generate_gate_row(
     rnd = random.Random(seed)
     constants = constants or [rnd.randrange(P) for _ in range(gate.num_constants())]
     wires: Dict[Tuple[int, int], int] = {}
+    if preset:
+        for col, v in preset.items():
+            wires[(0, col)] = v % P
     gens = gate.generators(0, constants)
     for gen in gens:
         for t in gen.dependencies():
             col = t.column
-            if preset and col in preset:
-                wires[(0, col)] = preset[col] % P
-            elif (0, col) not in wires:
+            if (0, col) not in wires:
                 wires[(0, col)] = rnd.randrange(P)
     for gen in gens:
         out = _DictOut()

@@ -9,6 +9,13 @@ from plonky2_tpu.gates.gate_testing import (
     check_generated_witness,
     check_low_degree,
 )
+from plonky2_tpu.gates.extension import (
+    ArithmeticExtensionGate,
+    MulExtensionGate,
+    ReducingExtensionGate,
+    ReducingGate,
+)
+from plonky2_tpu.gates.misc import BaseSumGate, ExponentiationGate, RandomAccessGate
 from plonky2_tpu.gates.poseidon import PoseidonGate
 
 GATES = [
@@ -16,7 +23,50 @@ GATES = [
     ConstantGate(num_consts=2),
     PublicInputGate(),
     PoseidonGate(),
+    ArithmeticExtensionGate(num_ops=10),
+    MulExtensionGate(num_ops=13),
+    ReducingGate(num_coeffs=33),
+    ReducingExtensionGate(num_coeffs=32),
+    BaseSumGate(num_limbs=63, base=2),
+    BaseSumGate(num_limbs=16, base=4),
+    ExponentiationGate(num_power_bits=17),
+    RandomAccessGate(bits=4, num_copies=4, num_extra_constants=2),
 ]
+
+
+def _preset_for(gate, seed=0):
+    import random
+
+    rnd = random.Random(1000 + seed)
+    if isinstance(gate, PoseidonGate):
+        return {PoseidonGate.WIRE_SWAP: 1}
+    if isinstance(gate, ExponentiationGate):
+        return {
+            gate.wire_power_bit(i): rnd.randrange(2)
+            for i in range(gate.num_power_bits)
+        }
+    if isinstance(gate, BaseSumGate):
+        return {gate.WIRE_SUM: rnd.randrange(min(gate.base**gate.num_limbs, 2**63))}
+    if isinstance(gate, RandomAccessGate):
+        preset = {
+            gate.wire_access_index(c): rnd.randrange(gate.vec_size())
+            for c in range(gate.num_copies)
+        }
+        # extra-constant wires are filled by the builder's ConstantGenerators,
+        # not the gate's own generators: pin them to the sampled constants
+        from plonky2_tpu.field.goldilocks import P
+
+        consts = [rnd.randrange(P) for _ in range(gate.num_extra_constants)]
+        for i, c in enumerate(consts):
+            preset[gate.wire_extra_constant(i)] = c
+        return consts, preset
+    return None
+
+
+def _split(pc):
+    if isinstance(pc, tuple):
+        return pc[0], pc[1]
+    return None, pc
 
 
 @pytest.mark.parametrize("gate", GATES, ids=lambda g: g.id()[:24])
@@ -28,10 +78,8 @@ def test_low_degree(gate):
 def test_generated_witness_satisfies_constraints(gate):
     if not gate.generators(0, [0] * gate.num_constants()):
         pytest.skip("gate has no generators")
-    preset = None
-    if isinstance(gate, PoseidonGate):
-        preset = {PoseidonGate.WIRE_SWAP: 1}
-    check_generated_witness(gate, preset=preset)
+    constants, preset = _split(_preset_for(gate))
+    check_generated_witness(gate, constants=constants, preset=preset)
 
 
 @pytest.mark.parametrize("gate", GATES, ids=lambda g: g.id()[:24])
