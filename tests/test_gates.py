@@ -15,6 +15,7 @@ from plonky2_tpu.gates.extension import (
     ReducingExtensionGate,
     ReducingGate,
 )
+from plonky2_tpu.gates.interpolation import CosetInterpolationGate, PoseidonMdsGate
 from plonky2_tpu.gates.misc import BaseSumGate, ExponentiationGate, RandomAccessGate
 from plonky2_tpu.gates.poseidon import PoseidonGate
 
@@ -31,6 +32,9 @@ GATES = [
     BaseSumGate(num_limbs=16, base=4),
     ExponentiationGate(num_power_bits=17),
     RandomAccessGate(bits=4, num_copies=4, num_extra_constants=2),
+    CosetInterpolationGate(subgroup_bits=4, max_degree=8),
+    CosetInterpolationGate(subgroup_bits=2, max_degree=8),
+    PoseidonMdsGate(),
 ]
 
 
