@@ -101,6 +101,49 @@ class DeviceBatchAlgebra:
         return gf.exp_const(a, e)
 
 
+class CircuitAlgebra:
+    """Elements are ExtensionTargets; operations emit gates. Instantiating a
+    gate's eval_unfiltered with this algebra IS the reference's
+    eval_unfiltered_circuit (gate.rs:105-130) — used by the recursive
+    verifier's vanishing-polynomial evaluation at zeta."""
+
+    def __init__(self, builder):
+        self.b = builder
+
+    def const(self, c: int):
+        return self.b.constant_extension((c % P, 0))
+
+    def zero(self):
+        return self.b.zero_extension()
+
+    def one(self):
+        return self.b.one_extension()
+
+    def add(self, a, b):
+        return self.b.add_extension(a, b)
+
+    def sub(self, a, b):
+        return self.b.sub_extension(a, b)
+
+    def mul(self, a, b):
+        return self.b.mul_extension(a, b)
+
+    def neg(self, a):
+        return self.b.sub_extension(self.zero(), a)
+
+    def mul_const(self, a, c: int):
+        return self.b.constant_scalar_mul_ext(c % P, a)
+
+    def add_const(self, a, c: int):
+        return self.b.add_const_extension(a, (c % P, 0))
+
+    def sub_from_const(self, c: int, a):
+        return self.b.sub_extension(self.const(c), a)
+
+    def exp_const(self, a, e: int):
+        return self.b.exp_u64_extension(a, e)
+
+
 @dataclass
 class EvalVars:
     """Gate-visible evaluation variables (selectors already stripped)."""

@@ -25,6 +25,7 @@ from .circuit_data import (
     VerifierOnlyCircuitData,
 )
 from .config import CircuitConfig
+from .gadgets import GadgetMixin
 
 
 class Forest:
@@ -88,7 +89,7 @@ def sigma_polys_from_partition(
     return sigma
 
 
-class CircuitBuilder:
+class CircuitBuilder(GadgetMixin):
     def __init__(self, config: Optional[CircuitConfig] = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: List[GateInstance] = []
@@ -149,7 +150,9 @@ class CircuitBuilder:
     ) -> Tuple[int, int]:
         """Gate-slot packing (circuit_builder.rs:824-851)."""
         key = (gate.id(), tuple(params))
-        num_ops = gate.num_ops
+        num_ops = getattr(gate, "num_ops", None)
+        if num_ops is None:
+            num_ops = gate.num_copies  # RandomAccessGate
         if key in self.current_slots:
             row, slot = self.current_slots[key]
         else:
@@ -247,8 +250,6 @@ class CircuitBuilder:
     def assert_one(self, x: Target) -> None:
         self.connect(x, self.one())
 
-    def is_equal(self, x: Target, y: Target):
-        raise NotImplementedError("lands with the select/random-access gadgets")
 
     # -- public-input hashing --------------------------------------------------
 
@@ -290,7 +291,9 @@ class CircuitBuilder:
         ) == 0:
             self.add_gate(NoopGate(), [])
 
-    def build(self) -> CircuitData:
+    def build(self, commit: bool = True) -> CircuitData:
+        """commit=False skips the constants/sigmas commitment and digest
+        (witness-generation-only flows, tests)."""
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
@@ -359,8 +362,12 @@ class CircuitBuilder:
             [np.asarray(v, dtype=np.uint64) for v in constant_vecs]
             + [sigma_vecs[i] for i in range(config.num_routed_wires)]
         )
-        constants_sigmas_commitment = PolynomialBatch.from_values(
-            gf.from_u64(all_const_sigma), rate_bits, False, cap_height
+        constants_sigmas_commitment = (
+            PolynomialBatch.from_values(
+                gf.from_u64(all_const_sigma), rate_bits, False, cap_height
+            )
+            if commit
+            else None
         )
 
         # 7. gate generators + watch index
@@ -389,7 +396,11 @@ class CircuitBuilder:
         )
 
         # 8. circuit digest
-        cs_cap = constants_sigmas_commitment.cap_u64()
+        cs_cap = (
+            constants_sigmas_commitment.cap_u64()
+            if commit
+            else np.zeros((1 << cap_height, 4), dtype=np.uint64)
+        )
         domain_separator_digest = hp.hash_pad(self.domain_separator)
         digest_inputs = (
             [int(x) for row in cs_cap for x in row]

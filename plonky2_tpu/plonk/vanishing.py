@@ -192,6 +192,47 @@ def eval_vanishing_poly_host(
 
 
 _QUOTIENT_FN_CACHE = {}
+_GATE_BLOCK_CACHE = {}
+
+
+def _gate_block_fn(gate, sel, group, many, consts_offset, key_extra):
+    """Jitted filtered-constraint block for ONE gate type:
+    (cs_nat, wires_nat, pis) -> [num_constraints, B].
+
+    Splitting per gate keeps each XLA/LLVM module small (whole-program
+    quotient compiles were pathological) and lets identical gate programs
+    be reused across circuits in-process."""
+    key = (gate.id(), sel, group, many, consts_offset, key_extra)
+    if key in _GATE_BLOCK_CACHE:
+        return _GATE_BLOCK_CACHE[key]
+
+    def fn(cs_nat, wires_nat, pis_hash):
+        b = cs_nat[0].shape[1]
+        A = DeviceBatchAlgebra(b)
+
+        def rows(vals):
+            return [(vals[0][i], vals[1][i]) for i in range(vals[0].shape[0])]
+
+        consts_all = rows(cs_nat)
+        gate_consts = consts_all[consts_offset:]
+        local_wires = rows(wires_nat)
+        pis = [
+            (
+                jnp.broadcast_to(pis_hash[0][i], (b,)),
+                jnp.broadcast_to(pis_hash[1][i], (b,)),
+            )
+            for i in range(4)
+        ]
+        vars = EvalVars(gate_consts, local_wires, pis)
+        filt = compute_filter(A, sel[0], group, consts_all[sel[1]], many)
+        evals = gate.eval_unfiltered_device(vars, A)
+        flo = jnp.stack([gf.mul(filt, c)[0] for c in evals])
+        fhi = jnp.stack([gf.mul(filt, c)[1] for c in evals])
+        return flo, fhi
+
+    jfn = jax.jit(fn)
+    _GATE_BLOCK_CACHE[key] = jfn
+    return jfn
 
 
 def quotient_values_fn(common):
@@ -212,27 +253,36 @@ def quotient_values_fn(common):
     chunk = common.permutation_partial_product_degree()
     k_arr = np.array(common.k_is, dtype=np.uint64)
 
-    def fn(cs_nat, wires_nat, zs_pp_nat, shifted_xs, l0, zh_inv, betas, gammas, alphas, pis_hash):
+    si = common.selectors_info
+    many = si.num_selectors > 1
+    consts_offset = si.num_selectors + common.num_lookup_selectors
+
+    def gate_terms_fn(cs_nat, wires_nat, pis_hash):
+        """Filtered constraint blocks per gate type (separate jits), padded
+        and summed into [num_gate_constraints, B]."""
+        blocks = []
+        for gate_idx, gate in enumerate(common.gates):
+            if gate.num_constraints() == 0:
+                continue  # NoopGate
+            sel = si.selector_indices[gate_idx]
+            jfn = _gate_block_fn(
+                gate,
+                (gate_idx, sel),
+                si.groups[sel],
+                many,
+                consts_offset,
+                common.num_constants,
+            )
+            blocks.append(jfn(cs_nat, wires_nat, pis_hash))
+        return _combine_blocks(blocks, common.num_gate_constraints)
+
+    def fn(cs_nat, zs_pp_nat, wires_nat, gate_terms, shifted_xs, l0, zh_inv, betas, gammas, alphas):
         # all *_nat are (lo,hi) pairs with shape [num_polys, lde_n]
         b = cs_nat[0].shape[1]
-        A = DeviceBatchAlgebra(b)
-
-        def rows(vals):
-            return [(vals[0][i], vals[1][i]) for i in range(vals[0].shape[0])]
-
-        consts_all = rows(cs_nat)
-        local_constants = consts_all[: common.num_constants]
-        local_wires = rows(wires_nat)
-        pis = [
-            (
-                jnp.broadcast_to(pis_hash[0][i], (b,)),
-                jnp.broadcast_to(pis_hash[1][i], (b,)),
-            )
-            for i in range(4)
+        constraint_terms = [
+            (gate_terms[0][i], gate_terms[1][i])
+            for i in range(gate_terms[0].shape[0])
         ]
-        constraint_terms = _gate_constraint_terms(
-            common, A, local_constants, local_wires, pis
-        )
 
         # --- permutation-argument terms, lane-stacked ---------------------
         x = (shifted_xs[0], shifted_xs[1])  # [B]
@@ -315,5 +365,25 @@ def quotient_values_fn(common):
         return jnp.stack(out_lo), jnp.stack(out_hi)
 
     jfn = jax.jit(fn)
-    _QUOTIENT_FN_CACHE[key] = jfn
-    return jfn
+
+    def qfn(cs_nat, wires_nat, zs_pp_nat, shifted_xs, l0, zh_inv, betas, gammas, alphas, pis_hash):
+        gate_terms = gate_terms_fn(cs_nat, wires_nat, pis_hash)
+        return jfn(
+            cs_nat, zs_pp_nat, wires_nat, gate_terms,
+            shifted_xs, l0, zh_inv, betas, gammas, alphas,
+        )
+
+    _QUOTIENT_FN_CACHE[key] = qfn
+    return qfn
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _combine_blocks(blocks, num_constraints: int):
+    """Pad per-gate blocks to a common length and sum exactly mod p."""
+    padded_lo = [
+        jnp.pad(lo, ((0, num_constraints - lo.shape[0]), (0, 0))) for lo, _ in blocks
+    ]
+    padded_hi = [
+        jnp.pad(hi, ((0, num_constraints - hi.shape[0]), (0, 0))) for _, hi in blocks
+    ]
+    return gf.sum_mod_p((jnp.stack(padded_lo), jnp.stack(padded_hi)), axis=0)

@@ -11,15 +11,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's fusion pass miscompiles certain fused kernels on this host
+# into infinite loops (one thread spins forever; reproduced 2026-08-16
+# on a 1-vCPU VM with jaxlib 0.9). The TPU backend is unaffected. Tests
+# run correctness, not perf, so disable the pass wholesale.
+if "xla_disable_hlo_passes" not in flags:
+    flags += " --xla_disable_hlo_passes=fusion"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 # Persistent compilation cache: the prover compiles many per-shape kernels;
 # cache them across test sessions. Must be set via jax.config (env vars are
 # not picked up for the CPU backend in this jax version).
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: the persistent compilation cache is intentionally NOT enabled:
+# cache read-back deadlocks/crawls on this host (machine-feature
+# mismatch in the CPU AOT loader).
