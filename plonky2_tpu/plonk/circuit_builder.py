@@ -436,6 +436,7 @@ class CircuitBuilder(GadgetMixin):
             public_inputs=self.public_inputs,
             representative_map=forest.parents,
             circuit_digest=circuit_digest,
+            gate_instances=self.gate_instances,
         )
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=cs_cap,

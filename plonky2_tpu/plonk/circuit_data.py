@@ -165,6 +165,7 @@ class ProverOnlyCircuitData:
     public_inputs: List
     representative_map: List[int]
     circuit_digest: Tuple[int, int, int, int]
+    gate_instances: List = None  # [GateInstance] per row (witness_check, debugging)
 
 
 @dataclass

@@ -309,13 +309,44 @@ class GadgetMixin:
     # ---- range checks / splits (gadgets/{range_check,split_base,split_join}.rs)
 
     def split_le(self, x: Target, num_bits: int) -> List[BoolTarget]:
-        """Binary decomposition, LE; range-checks x < 2^num_bits."""
-        gate = BaseSumGate(num_bits, 2)
-        row = self.add_gate(gate, [])
-        self.connect(x, Target.wire(row, BaseSumGate.WIRE_SUM))
-        return [
-            BoolTarget(Target.wire(row, i)) for i in gate.limbs()
+        """Binary decomposition, LE; range-checks x < 2^num_bits.
+        Spans multiple BaseSumGates for num_bits > 63 (split_join.rs:25-61)."""
+        if num_bits == 0:
+            return []
+        gate = BaseSumGate.new_from_config(self.config, 2)
+        k = -(-num_bits // gate.num_limbs)
+        rows = [self.add_gate(gate, []) for _ in range(k)]
+        bits = [
+            BoolTarget(Target.wire(row, i)) for row in rows for i in gate.limbs()
         ]
+        for b in bits[num_bits:]:
+            self.assert_zero(b.target)
+        bits = bits[:num_bits]
+        base = (1 << gate.num_limbs) % gl.P
+        acc = self.zero()
+        one = self.one()
+        for row in reversed(rows):
+            s = Target.wire(row, BaseSumGate.WIRE_SUM)
+            acc = self.arithmetic(base, 1, acc, one, s)  # base*acc + sum
+        self.connect(acc, x)
+        self.add_simple_generator(WireSplitGenerator(x, rows, gate.num_limbs))
+        return bits
+
+    def low_bits(self, x: Target, num_low_bits: int, num_bits: int) -> List[BoolTarget]:
+        return self.split_le(x, num_bits)[:num_low_bits]
+
+    def assert_leading_zeros(self, x: Target, leading_zeros: int) -> None:
+        self.range_check(x, 64 - leading_zeros)
+
+    def exp_from_bits_const_base(self, base: int, bits_msb_first) -> Target:
+        """base^e for a constant base, exponent given MSB-first as bools."""
+        acc = self.one()
+        for b in bits_msb_first:
+            # acc <- acc^2 * (1 + (base-1)*bit)
+            sq = self.mul(acc, acc)
+            m = self.arithmetic(base - 1, 1, b.target, self.one(), self.one())
+            acc = self.mul(sq, m)
+        return acc
 
     def range_check(self, x: Target, num_bits: int) -> None:
         self.split_le(x, num_bits)
@@ -383,6 +414,63 @@ class GadgetMixin:
 
     # see ReducingFactorTarget class below
 
+    # ---- hashing gadgets (hash/hashing.rs, merkle_proofs.rs) ---------------
+
+    def permute_swapped(self, state: List[Target], swap: BoolTarget) -> List[Target]:
+        """One PoseidonGate row with the swap wire driven by `swap`."""
+        from ..gates.poseidon import PoseidonGate
+
+        gate = PoseidonGate()
+        row = self.add_gate(gate, [])
+        self.connect(swap.target, Target.wire(row, PoseidonGate.WIRE_SWAP))
+        for i, t in enumerate(state):
+            self.connect(t, Target.wire(row, PoseidonGate.wire_input(i)))
+        return [Target.wire(row, PoseidonGate.wire_output(i)) for i in range(12)]
+
+    def hash_leaf_circuit(self, inputs: List[Target]) -> List[Target]:
+        """Domain-separated Merkle leaf hash in-circuit: capacity lane RATE
+        holds len+1 (hash/hashing.rs:126-143)."""
+        zero = self.zero()
+        state = [zero] * 12
+        state[8] = self.constant(len(inputs) + 1)
+        for start in range(0, len(inputs), 8):
+            chunk = inputs[start : start + 8]
+            for i, t in enumerate(chunk):
+                state[i] = t
+            state = self.permute_poseidon(state)
+        return state[:4]
+
+    def verify_merkle_proof_to_cap_with_cap_index(
+        self,
+        leaf_data: List[Target],
+        leaf_index_bits: List[BoolTarget],
+        cap_index: Target,
+        merkle_cap,
+        proof_siblings: List[List[Target]],
+    ) -> None:
+        """hash/merkle_proofs.rs:66-106 — swap-ordered two_to_one compressions
+        up the path, then random-access the cap."""
+        zero = self.zero()
+        state = self.hash_leaf_circuit(leaf_data)
+        for bit, sibling in zip(leaf_index_bits, proof_siblings):
+            inputs = state + list(sibling) + [zero] * 4
+            state = self.permute_swapped(inputs, bit)[:4]
+        for i in range(4):
+            got = self.random_access(cap_index, [h[i] for h in merkle_cap.hashes])
+            self.connect(got, state[i])
+
+    # ---- misc extension helpers used by the recursive verifier -------------
+
+    def div_add_extension(self, a, b, c) -> "ExtensionTarget":
+        """a/b + c."""
+        return self.add_extension(self.div_extension(a, b), c)
+
+    def eval_ext_poly_at(self, coeffs: List[ExtensionTarget], x: ExtensionTarget) -> ExtensionTarget:
+        acc = self.zero_extension()
+        for cf in reversed(coeffs):
+            acc = self.mul_add_extension(acc, x, cf)
+        return acc
+
     # ---- coset interpolation (gadgets/interpolation.rs) --------------------
 
     def interpolate_coset(
@@ -402,6 +490,31 @@ class GadgetMixin:
         return ExtensionTarget(
             tuple(Target.wire(row, w) for w in gate.wires_evaluation_value())
         )
+
+
+@dataclass
+class WireSplitGenerator(SimpleGenerator):
+    """Splits x across the WIRE_SUMs of several BaseSumGates
+    (split_join.rs:114-158)."""
+
+    x: Target
+    rows: List[int]
+    num_limbs: int
+
+    def id(self) -> str:
+        return "WireSplitGenerator"
+
+    def dependencies(self) -> List[Target]:
+        return [self.x]
+
+    def run_once(self, witness, out) -> None:
+        from ..gates.misc import BaseSumGate
+
+        v = witness.get_target(self.x)
+        for row in self.rows:
+            out.set_wire(row, BaseSumGate.WIRE_SUM, v & ((1 << self.num_limbs) - 1))
+            v >>= self.num_limbs
+        assert v == 0
 
 
 @dataclass

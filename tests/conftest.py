@@ -26,3 +26,18 @@ os.environ["XLA_FLAGS"] = flags.strip()
 # NOTE: the persistent compilation cache is intentionally NOT enabled:
 # cache read-back deadlocks/crawls on this host (machine-feature
 # mismatch in the CPU AOT loader).
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running e2e tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if config.getoption("-m"):
+        return
+    skip_slow = _pytest.mark.skip(reason="slow; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
