@@ -1,0 +1,59 @@
+"""Example STARKs used as test fixtures (reference:
+starky/src/fibonacci_stark.rs, permutation_stark.rs)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..field import goldilocks as gl
+from .stark import ConstraintConsumer, Stark, StarkFrame
+
+
+class FibonacciStark(Stark):
+    """Trace: [x0, x1]; transition x0' = x1, x1' = x0 + x1; public inputs
+    pin x0/x1 on the first row and the result on the last row."""
+
+    PI_X0 = 0
+    PI_X1 = 1
+    PI_RES = 2
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def num_columns(self) -> int:
+        return 2
+
+    def num_public_inputs(self) -> int:
+        return 3
+
+    def constraint_degree(self) -> int:
+        return 2
+
+    def generate_trace(self, x0: int, x1: int) -> np.ndarray:
+        rows = [(x0, x1)]
+        for _ in range(self.num_rows - 1):
+            a, b = rows[-1]
+            rows.append((b, gl.gadd(a, b)))
+        return np.array(rows, dtype=np.uint64).T.copy()  # [2, num_rows]
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        local = frame.local_values
+        nxt = frame.next_values
+        pis = frame.public_inputs
+
+        consumer.constraint_first_row(A.sub(local[0], pis[self.PI_X0]))
+        consumer.constraint_first_row(A.sub(local[1], pis[self.PI_X1]))
+        consumer.constraint_last_row(A.sub(local[1], pis[self.PI_RES]))
+
+        # x0' <- x1, x1' <- x0 + x1
+        consumer.constraint_transition(A.sub(nxt[0], local[1]))
+        consumer.constraint_transition(A.sub(nxt[1], A.add(local[0], local[1])))
+
+
+def fibonacci_res(num_rows: int, x0: int, x1: int) -> int:
+    a, b = x0, x1
+    for _ in range(num_rows - 1):
+        a, b = b, gl.gadd(a, b)
+    return b

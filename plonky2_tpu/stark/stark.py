@@ -1,0 +1,126 @@
+"""The Stark protocol base class + evaluation frame + constraint consumer
+(reference: starky/src/{stark.rs,evaluation_frame.rs,constraint_consumer.rs}).
+
+Single-source constraints: a Stark implements ``eval`` once over an
+abstract algebra A; the same code runs as
+  * the device quotient kernel (DeviceBatchAlgebra over the LDE coset),
+  * the host single-point evaluation at zeta (HostExtAlgebra),
+  * the in-circuit recursive verifier (CircuitAlgebra),
+replacing the reference's eval_packed_generic / eval_ext_circuit pair.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from ..fri.structure import (
+    FriBatchInfo,
+    FriInstanceInfo,
+    FriOpeningExpression,
+    FriOracleInfo,
+    FriPolynomialInfo,
+)
+from ..field import extension as ge
+from ..field import goldilocks as gl
+
+
+@dataclass
+class StarkFrame:
+    """Two consecutive trace rows + public inputs, as algebra elements."""
+
+    local_values: Sequence
+    next_values: Sequence
+    public_inputs: Sequence
+
+
+class ConstraintConsumer:
+    """Accumulates constraints against alpha powers with first/last-row
+    and transition selectors (constraint_consumer.rs:20-120)."""
+
+    def __init__(self, A, alphas, z_last, lagrange_basis_first, lagrange_basis_last):
+        self.A = A
+        self.alphas = alphas
+        self.accs = [A.zero() for _ in alphas]
+        self.z_last = z_last
+        self.l_first = lagrange_basis_first
+        self.l_last = lagrange_basis_last
+
+    def constraint(self, c) -> None:
+        A = self.A
+        self.accs = [
+            A.add(A.mul(acc, alpha), c) for acc, alpha in zip(self.accs, self.alphas)
+        ]
+
+    def constraint_transition(self, c) -> None:
+        self.constraint(self.A.mul(c, self.z_last))
+
+    def constraint_first_row(self, c) -> None:
+        self.constraint(self.A.mul(c, self.l_first))
+
+    def constraint_last_row(self, c) -> None:
+        self.constraint(self.A.mul(c, self.l_last))
+
+    def accumulators(self) -> List:
+        return list(self.accs)
+
+
+class Stark:
+    """Subclass and implement num_columns/num_public_inputs/constraint_degree
+    and eval(frame, consumer, A)."""
+
+    def num_columns(self) -> int:
+        raise NotImplementedError
+
+    def num_public_inputs(self) -> int:
+        return 0
+
+    def constraint_degree(self) -> int:
+        raise NotImplementedError
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        raise NotImplementedError
+
+    # -- lookups / CTLs (overridable; defaults: none) ------------------------
+
+    def uses_lookups(self) -> bool:
+        return False
+
+    def lookups(self) -> List:
+        return []
+
+    def requires_ctls(self) -> bool:
+        return False
+
+    # -- derived parameters (stark.rs:84-112) --------------------------------
+
+    def quotient_degree_factor(self) -> int:
+        eff = max(self.constraint_degree(), 2) if self.uses_lookups() else self.constraint_degree()
+        return max(1, eff - 1)
+
+    def num_quotient_polys(self, config) -> int:
+        return self.quotient_degree_factor() * config.num_challenges
+
+    def fri_instance(self, zeta, g: int, config) -> FriInstanceInfo:
+        """Opening spec: everything at zeta; trace+aux at g*zeta
+        (stark.rs:115-197)."""
+        oracles = []
+        trace_info = FriPolynomialInfo.from_range(0, 0, self.num_columns())
+        oracles.append(FriOracleInfo(self.num_columns(), False))
+        aux_info: List[FriPolynomialInfo] = []
+
+        nq = self.num_quotient_polys(config)
+        quotient_info = (
+            FriPolynomialInfo.from_range(len(oracles), 0, nq) if nq else []
+        )
+        if nq:
+            oracles.append(FriOracleInfo(nq, False))
+
+        zeta_batch = FriBatchInfo.from_polys(
+            tuple(zeta), trace_info + aux_info + quotient_info
+        )
+        zeta_next = ge.ext_scalar_mul(zeta, g)
+        zeta_next_batch = FriBatchInfo.from_polys(
+            tuple(zeta_next), trace_info + aux_info
+        )
+        return FriInstanceInfo(oracles=oracles, batches=[zeta_batch, zeta_next_batch])
