@@ -249,3 +249,33 @@ def np_batch_inverse(a) -> np.ndarray:
     inv[1:] = np_mul(inv[1:], prefix[:-1])
     inv[:-1] = np_mul(inv[:-1], suffix[1:])
     return inv.reshape(a.shape)
+
+
+def gsqrt(a: int):
+    """Square root via Tonelli-Shanks (None if a is a non-residue);
+    reference: field/src/types.rs sqrt via exp/two-adicity."""
+    a %= P
+    if a == 0:
+        return 0
+    if pow(a, (P - 1) // 2, P) != 1:
+        return None
+    # p - 1 = q * 2^s with s = 32
+    s = TWO_ADICITY
+    q = (P - 1) >> s
+    z = POWER_OF_TWO_GENERATOR  # generator of the 2-Sylow subgroup
+    m = s
+    c = pow(z, 1, P)
+    c = z % P
+    t = pow(a, q, P)
+    r = pow(a, (q + 1) // 2, P)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % P
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m = i
+        c = b * b % P
+        t = t * c % P
+        r = r * b % P
+    return r

@@ -104,6 +104,9 @@ class CircuitBuilder(GadgetMixin):
         # (gate_id, params) -> (row, next_slot)
         self.current_slots: Dict[Tuple[str, Tuple[int, ...]], Tuple[int, int]] = {}
         self.domain_separator: List[int] = []
+        # context tree for labeled gate counts (util/context_tree.rs)
+        self.context_stack: List[str] = []
+        self.gate_counts_by_context: Dict[Tuple[str, ...], Dict[str, int]] = {}
 
     # -- targets ------------------------------------------------------------
 
@@ -143,6 +146,9 @@ class CircuitBuilder(GadgetMixin):
             )
         self.gates[gate.id()] = gate
         self.gate_instances.append(GateInstance(gate, constants))
+        ctx = tuple(self.context_stack)
+        by = self.gate_counts_by_context.setdefault(ctx, {})
+        by[gate.id()] = by.get(gate.id(), 0) + 1
         return row
 
     def find_slot(
@@ -162,6 +168,22 @@ class CircuitBuilder(GadgetMixin):
         else:
             self.current_slots[key] = (row, slot + 1)
         return row, slot
+
+    def push_context(self, name: str) -> None:
+        self.context_stack.append(name)
+
+    def pop_context(self) -> None:
+        self.context_stack.pop()
+
+    def print_gate_counts(self) -> str:
+        lines = []
+        for ctx, by in sorted(self.gate_counts_by_context.items()):
+            label = "/".join(ctx) or "(root)"
+            total = sum(by.values())
+            lines.append(f"{label}: {total} gates")
+            for gid, cnt in sorted(by.items(), key=lambda kv: -kv[1]):
+                lines.append(f"  {cnt:6d} x {gid[:60]}")
+        return "\n".join(lines)
 
     # -- copy constraints / constants ----------------------------------------
 
