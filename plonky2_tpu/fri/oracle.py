@@ -50,7 +50,7 @@ class PolynomialBatch:
     def from_values(
         values: gf.Gf, rate_bits: int, blinding: bool, cap_height: int
     ) -> "PolynomialBatch":
-        coeffs = jax.jit(ntt.ifft)(values)
+        coeffs = ntt.ifft_jit(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding, cap_height)
 
     @staticmethod
@@ -90,15 +90,30 @@ class PolynomialBatch:
         for _ in range(n - 1):
             pows.append(ge.ext_mul(pows[-1], zeta))
         pw = np.array(pows, dtype=np.uint64)  # [N, 2]
-        w0 = gf.from_u64(pw[:, 0])
-        w1 = gf.from_u64(pw[:, 1])
-        # p_j(z) = sum_i c_{j,i} * z^i ; components via weighted sums along N
-        coeffs_t = (self.polynomials[0].T, self.polynomials[1].T)  # [N, M]
-        e0 = gf.weighted_sum(coeffs_t, w0)  # [M]
-        e1 = gf.weighted_sum(coeffs_t, w1)
+        e0, e1 = _eval_all_jit(
+            self.polynomials, gf.from_u64(pw[:, 0]), gf.from_u64(pw[:, 1])
+        )
         u0 = gf.to_u64(e0)
         u1 = gf.to_u64(e1)
         return [(int(a), int(b)) for a, b in zip(u0, u1)]
+
+
+@jax.jit
+def _eval_all_jit(polynomials, w0, w1):
+    coeffs_t = (polynomials[0].T, polynomials[1].T)  # [N, M]
+    return gf.weighted_sum(coeffs_t, w0), gf.weighted_sum(coeffs_t, w1)
+
+
+@jax.jit
+def _shift_accumulate_jit(final, quotient, shift_pair):
+    part = gf.ext2_mul(
+        final,
+        (
+            jnp.broadcast_to(shift_pair[0], final[0].shape),
+            jnp.broadcast_to(shift_pair[1], final[1].shape),
+        ),
+    )
+    return gf.add(part, quotient)
 
 
 def _expression_weights(
@@ -167,7 +182,7 @@ def reduce_openings_to_final_poly(
             final = quotient
         else:
             shift = ge.ext_exp(alpha, cnt)
-            final = gf.add(fk.ext_poly_mul_const(final, shift), quotient)
+            final = _shift_accumulate_jit(final, quotient, gf.ext2_const(shift))
     return final
 
 

@@ -61,10 +61,7 @@ def fri_proof(
     query_indices = [
         c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)
     ]
-    query_rounds = [
-        _query_round(initial_merkle_trees, trees, xi, fri_params)
-        for xi in query_indices
-    ]
+    query_rounds = _query_rounds(initial_merkle_trees, trees, query_indices, fri_params)
 
     return FriProof(
         commit_phase_merkle_caps=[t.cap_u64() for t in trees],
@@ -72,6 +69,19 @@ def fri_proof(
         final_poly=final_poly,
         pow_witness=pow_witness,
     )
+
+
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnums=(1,))
+def _refold_values(coeffs, shift: int):
+    from ..ops import ntt
+
+    comp = (coeffs[0].T, coeffs[1].T)
+    vals = ntt.coset_fft(comp, shift)
+    return (vals[0].T, vals[1].T)
 
 
 def _fri_committed_trees(
@@ -100,12 +110,10 @@ def _fri_committed_trees(
         if step + 1 == len(arities):
             continue
         shift = gl.gexp(shift, arity)
-        # re-evaluate on the reduced coset
-        comp = (coeffs[0].T, coeffs[1].T)
+        # re-evaluate on the reduced coset (single fused dispatch)
         from ..ops import ntt
 
-        vals = ntt.coset_fft(comp, shift)
-        values = (vals[0].T, vals[1].T)
+        values = _refold_values((coeffs[0], coeffs[1]), shift)
 
     # Zero-cap padding rounds for unified recursion
     if max_num_query_steps is not None:
@@ -141,27 +149,51 @@ def _leading_zeros64(x: int) -> int:
     return 64 - x.bit_length() if x else 64
 
 
-def _query_round(
+def _query_rounds(
     initial_trees: Sequence[merkle.DeviceMerkleTree],
     trees: Sequence[merkle.DeviceMerkleTree],
-    x_index: int,
+    query_indices: Sequence[int],
     fri_params: FriParams,
-) -> FriQueryRound:
-    evals_proofs = []
-    for t in initial_trees:
-        leaf = [int(v) for v in t.leaf_u64(x_index)]
-        proof = MerkleProof(t.prove(x_index))
-        evals_proofs.append((leaf, proof))
-    steps = []
-    xi = x_index
+) -> List[FriQueryRound]:
+    """All query rounds extracted with batched gathers: one leaf-gather and
+    one path-gather per tree (instead of per query x per sibling), keeping
+    the host<->device round trips independent of the query count
+    (prover.rs:210-268 redesigned for a high-latency device link)."""
+    qi = np.array(query_indices, dtype=np.int64)
+    init_data = [(t.leaf_u64_batch(qi), t.prove_batch(qi)) for t in initial_trees]
+    step_data = []
+    xi = qi
     for i, arity_bits in enumerate(fri_params.reduction_arity_bits):
+        coset = xi >> arity_bits
         t = trees[i]
-        coset_index = xi >> arity_bits
-        flat = [int(v) for v in t.leaf_u64(coset_index)]
-        evals = [tuple(flat[2 * k : 2 * k + 2]) for k in range(len(flat) // 2)]
-        steps.append(FriQueryStep(evals=evals, merkle_proof=MerkleProof(t.prove(coset_index))))
-        xi = coset_index
-    return FriQueryRound(
-        initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
-        steps=steps,
-    )
+        step_data.append((t.leaf_u64_batch(coset), t.prove_batch(coset)))
+        xi = coset
+
+    rounds = []
+    for q in range(len(query_indices)):
+        evals_proofs = [
+            (
+                [int(v) for v in leaves[q]],
+                MerkleProof([tuple(int(x) for x in s) for s in sibs[q]]),
+            )
+            for leaves, sibs in init_data
+        ]
+        steps = []
+        for (leaves, sibs) in step_data:
+            flat = [int(v) for v in leaves[q]]
+            evals = [tuple(flat[2 * k : 2 * k + 2]) for k in range(len(flat) // 2)]
+            steps.append(
+                FriQueryStep(
+                    evals=evals,
+                    merkle_proof=MerkleProof(
+                        [tuple(int(x) for x in s) for s in sibs[q]]
+                    ),
+                )
+            )
+        rounds.append(
+            FriQueryRound(
+                initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+                steps=steps,
+            )
+        )
+    return rounds

@@ -48,30 +48,42 @@ def commit(coeffs: gf.Gf, rate_bits: int, cap_height: int) -> merkle.DeviceMerkl
 # ---------------------------------------------------------------------------
 
 
-def composition_poly(polys: gf.Gf, weights_ext) -> gf.Gf:
-    """sum_i w_i * p_i with extension weights over base polys [M, N]
-    -> extension poly [N, 2]."""
-    w = np.asarray(weights_ext, dtype=np.uint64)  # [M, 2]
-    w0 = gf.from_u64(w[:, 0])
-    w1 = gf.from_u64(w[:, 1])
+@jax.jit
+def _composition_poly_jit(polys, w0, w1):
     c0 = gf.weighted_sum(polys, w0)  # [N]
     c1 = gf.weighted_sum(polys, w1)
     return jnp.stack([c0[0], c1[0]], axis=-1), jnp.stack([c0[1], c1[1]], axis=-1)
 
 
-def divide_by_linear_ext(coeffs: gf.Gf, z) -> gf.Gf:
-    """(p(X) - p(z)) / (X - z) as an [N, 2] extension poly (the top
-    coefficient is zero-padded, matching oracle.rs:157-158)."""
-    s = gf.ext2_affine_suffix_scan(coeffs, z)  # [N, 2], s[k] = horner prefix
+def composition_poly(polys: gf.Gf, weights_ext) -> gf.Gf:
+    """sum_i w_i * p_i with extension weights over base polys [M, N]
+    -> extension poly [N, 2]."""
+    w = np.asarray(weights_ext, dtype=np.uint64)  # [M, 2]
+    return _composition_poly_jit(polys, gf.from_u64(w[:, 0]), gf.from_u64(w[:, 1]))
+
+
+@jax.jit
+def _divide_by_linear_ext_jit(coeffs, z_pair):
+    s = gf.ext2_affine_suffix_scan_z(coeffs, z_pair)  # [N, 2]
     qlo = s[0][::-1][1:]
     qhi = s[1][::-1][1:]
     pad = [(0, 1), (0, 0)]
     return jnp.pad(qlo, pad), jnp.pad(qhi, pad)
 
 
-def ext_poly_mul_const(p: gf.Gf, c) -> gf.Gf:
-    cc = gf.ext2_const(c)
+def divide_by_linear_ext(coeffs: gf.Gf, z) -> gf.Gf:
+    """(p(X) - p(z)) / (X - z) as an [N, 2] extension poly (the top
+    coefficient is zero-padded, matching oracle.rs:157-158)."""
+    return _divide_by_linear_ext_jit(coeffs, gf.ext2_const(z))
+
+
+@jax.jit
+def _ext_poly_mul_const_jit(p, cc):
     return gf.ext2_mul(p, (jnp.broadcast_to(cc[0], p[0].shape), jnp.broadcast_to(cc[1], p[1].shape)))
+
+
+def ext_poly_mul_const(p: gf.Gf, c) -> gf.Gf:
+    return _ext_poly_mul_const_jit(p, gf.ext2_const(c))
 
 
 def ext_poly_add(a: gf.Gf, b: gf.Gf) -> gf.Gf:
@@ -125,14 +137,26 @@ def bitrev_chunk_leaves_identity(values: gf.Gf) -> gf.Gf:
     return jnp.take(values[0], idx, axis=0), jnp.take(values[1], idx, axis=0)
 
 
-def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int):
-    """Bit-reverse extension values [n, 2], chunk into arity-cosets and
-    commit: leaves [n/arity, arity*2] (fri/prover.rs:95-105)."""
+@partial(jax.jit, static_argnums=(1, 2))
+def _commit_phase_leaves_and_levels(values, arity_bits: int, cap_height: int):
     n = values[0].shape[0]
     arity = 1 << arity_bits
-    rlo, rhi = bitrev_chunk_leaves_identity(values)
+    idx = reverse_index_bits_perm(n)
+    rlo = jnp.take(values[0], idx, axis=0)
+    rhi = jnp.take(values[1], idx, axis=0)
     leaves = (rlo.reshape(n // arity, arity * 2), rhi.reshape(n // arity, arity * 2))
-    return merkle.build_merkle_tree(leaves, cap_height)
+    from ..utils.bits import log2_strict
+
+    num_levels = log2_strict(n // arity) - cap_height
+    return leaves, merkle._tree_levels(leaves, num_levels)
+
+
+def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int):
+    """Bit-reverse extension values [n, 2], chunk into arity-cosets and
+    commit: leaves [n/arity, arity*2] — one fused dispatch
+    (fri/prover.rs:95-105)."""
+    leaves, levels = _commit_phase_leaves_and_levels(values, arity_bits, cap_height)
+    return merkle.DeviceMerkleTree(leaves=leaves, levels=list(levels), cap_height=cap_height)
 
 
 # ---------------------------------------------------------------------------

@@ -363,10 +363,14 @@ def ext2_affine_suffix_scan(coeffs: Gf, z) -> Gf:
     Log-depth via associative_scan over affine maps (x -> z*x + c), the
     TPU replacement for the reference's sequential scan
     (field/src/polynomial/division.rs:75-88 divide_by_linear)."""
+    return ext2_affine_suffix_scan_z(coeffs, ext2_const(z))
+
+
+def ext2_affine_suffix_scan_z(coeffs: Gf, zc: Gf) -> Gf:
+    """Same, with the point already as a device limb pair (jit-friendly)."""
     n = coeffs[0].shape[0]
     rlo = coeffs[0][::-1]
     rhi = coeffs[1][::-1]
-    zc = ext2_const(z)
     mlo = jnp.broadcast_to(zc[0], (n, 2))
     mhi = jnp.broadcast_to(zc[1], (n, 2))
 

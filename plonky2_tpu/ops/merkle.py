@@ -27,24 +27,61 @@ from . import gf
 from . import poseidon as dp
 
 
-def build_merkle_tree(leaves: gf.Gf, cap_height: int) -> "DeviceMerkleTree":
-    """Hash a [n, w] leaf batch into a device-resident tree."""
-    n = leaves[0].shape[0]
-    height = log2_strict(n)
-    assert cap_height <= height
+def _tree_levels(leaves: gf.Gf, num_levels: int):
+    """Traced body: leaf digests + level-by-level compressions."""
     digests = dp.hash_leaf(leaves)  # [n, 4]
     levels = [digests]
-    for _ in range(height - cap_height):
+    for _ in range(num_levels):
         cur = levels[-1]
         left = (cur[0][0::2], cur[1][0::2])
         right = (cur[0][1::2], cur[1][1::2])
         levels.append(dp.two_to_one(left, right))
+    return tuple(levels)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _tree_levels_jit(leaves: gf.Gf, num_levels: int):
+    return _tree_levels(leaves, num_levels)
+
+
+def build_merkle_tree(leaves: gf.Gf, cap_height: int) -> "DeviceMerkleTree":
+    """Hash a [n, w] leaf batch into a device-resident tree — the whole
+    level pyramid is ONE dispatch (dispatch latency dominates over a
+    remote TPU link)."""
+    n = leaves[0].shape[0]
+    height = log2_strict(n)
+    assert cap_height <= height
+    levels = list(_tree_levels_jit(leaves, height - cap_height))
     return DeviceMerkleTree(leaves=leaves, levels=levels, cap_height=cap_height)
 
 
 @jax.jit
 def _gather_row(lo, hi, idx):
     return lo[idx], hi[idx]
+
+
+@jax.jit
+def _gather_leaves_batch(lo, hi, idx):
+    return lo[idx], hi[idx]
+
+
+@jax.jit
+def _gather_paths_batch(levels_lo, levels_hi, idx):
+    """All sibling digests for a batch of leaf indices, one fused gather:
+    levels_*: tuple of [m_k, 4] arrays; idx: [Q]. Returns ([Q, L, 4] lo, hi).
+    One device->host transfer instead of Q*L tiny ones — the difference
+    between 91s and ~1s of FRI query extraction over a TPU tunnel."""
+    rows_lo, rows_hi = [], []
+    cur = idx
+    for lo, hi in zip(levels_lo, levels_hi):
+        sib = cur ^ 1
+        rows_lo.append(lo[sib])
+        rows_hi.append(hi[sib])
+        cur = cur >> 1
+    return jnp.stack(rows_lo, axis=1), jnp.stack(rows_hi, axis=1)
 
 
 @dataclass
@@ -73,15 +110,26 @@ class DeviceMerkleTree:
 
     def prove(self, leaf_index: int) -> List[Tuple[int, int, int, int]]:
         """Sibling digests from leaf level up to (excluding) the cap."""
-        sibs = []
-        idx = leaf_index
-        for level in self.levels[:-1]:
-            sib = idx ^ 1
-            lo, hi = _gather_row(level[0], level[1], sib)
-            row = gf.to_u64((lo, hi))
-            sibs.append(tuple(int(x) for x in row))
-            idx >>= 1
-        return sibs
+        sibs = self.prove_batch(np.array([leaf_index]))[0]
+        return [tuple(int(x) for x in row) for row in sibs]
+
+    def leaf_u64_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
+        """[Q, w] leaf rows in one transfer."""
+        idx = jnp.asarray(np.asarray(leaf_indices, dtype=np.int32))
+        lo, hi = _gather_leaves_batch(self.leaves[0], self.leaves[1], idx)
+        return np.asarray(gf.to_u64((lo, hi)))
+
+    def prove_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
+        """[Q, num_path_levels, 4] sibling digests in one transfer."""
+        if len(self.levels) == 1:
+            return np.zeros((len(leaf_indices), 0, 4), dtype=np.uint64)
+        idx = jnp.asarray(np.asarray(leaf_indices, dtype=np.int32))
+        lo, hi = _gather_paths_batch(
+            tuple(l[0] for l in self.levels[:-1]),
+            tuple(l[1] for l in self.levels[:-1]),
+            idx,
+        )
+        return np.asarray(gf.to_u64((lo, hi)))
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,11 @@ def naive_eval_np(coeffs_u64: np.ndarray, points_u64: np.ndarray) -> np.ndarray:
             acc = gl.np_add(gl.np_mul(acc, x), c)
         out[..., j] = acc
     return out
+
+
+# Module-level jitted entry points: a fresh ``jax.jit(fn)`` per call has its
+# own cache and would retrace+recompile every invocation.
+fft_jit = jax.jit(fft)
+ifft_jit = jax.jit(ifft)
+coset_fft_jit = jax.jit(coset_fft, static_argnums=(1,))
+coset_ifft_jit = jax.jit(coset_ifft, static_argnums=(1,))

@@ -12,6 +12,7 @@ import numpy as np
 from ..field import goldilocks as gl
 from ..fri.oracle import PolynomialBatch
 from ..gates.basic import ArithmeticGate, ConstantGate, NoopGate, PublicInputGate
+from ..gates.lookup import LookupGate, LookupTableGate
 from ..gates.gate import Gate, GateInstance, selector_polynomials
 from ..hash import poseidon as hp
 from ..iop.generator import ConstantGenerator, CopyGenerator, SimpleGenerator
@@ -104,6 +105,10 @@ class CircuitBuilder(GadgetMixin):
         # (gate_id, params) -> (row, next_slot)
         self.current_slots: Dict[Tuple[str, Tuple[int, ...]], Tuple[int, int]] = {}
         self.domain_separator: List[int] = []
+        # lookups (gadgets/lookup.rs, circuit_builder.rs:78-90)
+        self.luts: List[Tuple[Tuple[int, int], ...]] = []
+        self.lut_to_lookups: List[List[Tuple[Target, Target]]] = []
+        self.lookup_rows: List[Tuple[int, int, int]] = []  # (last_lu, last_lut, first_lut)
         # context tree for labeled gate counts (util/context_tree.rs)
         self.context_stack: List[str] = []
         self.gate_counts_by_context: Dict[Tuple[str, ...], Dict[str, int]] = {}
@@ -168,6 +173,63 @@ class CircuitBuilder(GadgetMixin):
         else:
             self.current_slots[key] = (row, slot + 1)
         return row, slot
+
+    # -- lookups (gadgets/lookup.rs) ------------------------------------------
+
+    def add_lookup_table_from_pairs(self, pairs) -> int:
+        lut = tuple((int(i) & 0xFFFF, int(o) & 0xFFFF) for i, o in pairs)
+        assert lut, "empty LUTs are not supported"
+        for idx, existing in enumerate(self.luts):
+            if existing == lut:
+                return idx
+        self.luts.append(lut)
+        self.lut_to_lookups.append([])
+        return len(self.luts) - 1
+
+    def add_lookup_table_from_table(self, inps, outs) -> int:
+        return self.add_lookup_table_from_pairs(list(zip(inps, outs)))
+
+    def add_lookup_table_from_fn(self, f, inputs) -> int:
+        return self.add_lookup_table_from_pairs([(i, f(i)) for i in inputs])
+
+    def add_lookup_from_index(self, looking_in: Target, lut_index: int) -> Target:
+        assert lut_index < len(self.luts)
+        looking_out = self.add_virtual_target()
+        self.lut_to_lookups[lut_index].append((looking_in, looking_out))
+        return looking_out
+
+    def add_all_lookups(self) -> None:
+        """Places LookupGates + LookupTableGates per LUT, rows deliberately
+        "upside down" (gadgets/lookup.rs:80-156)."""
+        for lut_index, lut in enumerate(self.luts):
+            lookups = self.lut_to_lookups[lut_index]
+            assert lookups, f"LUT {lut_index} is unused"
+            last_lu_gate = self.num_gates()
+            gate = LookupGate.new_from_table(self.config, lut)
+            num_slots = gate.num_slots
+            full, rem = divmod(len(lookups), num_slots)
+            for chunk_idx in range(full):
+                row = self.add_gate(gate, [])
+                for i, (lin, lout) in enumerate(
+                    lookups[chunk_idx * num_slots : (chunk_idx + 1) * num_slots]
+                ):
+                    self.connect(lin, Target.wire(row, LookupGate.wire_ith_looking_inp(i)))
+                    self.connect(lout, Target.wire(row, LookupGate.wire_ith_looking_out(i)))
+            for (lin, lout) in lookups[full * num_slots :]:
+                row, i = self.find_slot(gate, [lut_index], [])
+                self.connect(lin, Target.wire(row, LookupGate.wire_ith_looking_inp(i)))
+                self.connect(lout, Target.wire(row, LookupGate.wire_ith_looking_out(i)))
+
+            last_lut_gate = self.num_gates()
+            num_lut_entries = LookupTableGate.num_slots_from_config(self.config)
+            num_lut_rows = (len(lut) - 1) // num_lut_entries + 1
+            tgate = LookupTableGate.new_from_table(self.config, lut, last_lut_gate)
+            for _ in range(num_lut_rows):
+                self.add_gate(tgate, [])
+            first_lut_gate = self.num_gates() - 1
+            # all-zero next row: unifies first-row and transition constraints
+            self.add_gate(NoopGate(), [])
+            self.lookup_rows.append((last_lu_gate, last_lut_gate, first_lut_gate))
 
     def push_context(self, name: str) -> None:
         self.context_stack.append(name)
@@ -329,6 +391,9 @@ class CircuitBuilder(GadgetMixin):
         ):
             self.connect(hash_part, Target.wire(pi_gate, wire))
 
+        # 1b. place LUT-related gates (circuit_builder.rs:1138)
+        self.add_all_lookups()
+
         # 2. constant gates for all distinct constants
         while len(self.constants_to_targets) > len(self.constant_generators):
             self.add_gate(ConstantGate(config.num_constants), [])
@@ -364,8 +429,33 @@ class CircuitBuilder(GadgetMixin):
             )
             for i in range(max_gate_constants)
         ]
-        constant_vecs = list(selector_vals) + constant_vals
+        # lookup selectors (gates/selectors.rs:27-75)
+        lookup_selector_vals = []
+        if self.luts:
+            NUM_BASE_LOOKUP_SELECTORS = 4  # TransSre, TransLdc, InitSre, LastLdc
+            sels = [np.zeros(degree, dtype=np.uint64) for _ in range(NUM_BASE_LOOKUP_SELECTORS)]
+            for (last_lu, last_lut, first_lut) in self.lookup_rows:
+                sels[0][last_lut : first_lut + 1] = 1  # TransSre
+                sels[1][last_lu:last_lut] = 1  # TransLdc
+                sels[2][first_lut + 1] = 1  # InitSre
+                sels[3][last_lu] = 1  # LastLdc
+            ends = []
+            for (_, last_lut, _) in self.lookup_rows:
+                e = np.zeros(degree, dtype=np.uint64)
+                e[last_lut] = 1
+                ends.append(e)
+            lookup_selector_vals = sels + ends
+        num_lookup_selectors = len(lookup_selector_vals)
+
+        constant_vecs = list(selector_vals) + lookup_selector_vals + constant_vals
         num_constants = len(constant_vecs)
+
+        lookup_degree = quotient_degree_factor - 1
+        num_lookup_polys = (
+            0
+            if not self.luts
+            else -(-LookupGate.num_slots_from_config(config) // lookup_degree) + 1
+        )
 
         subgroup = gl.two_adic_subgroup(degree_bits)
         k_is = [
@@ -444,6 +534,9 @@ class CircuitBuilder(GadgetMixin):
             num_public_inputs=num_public_inputs,
             k_is=k_is,
             num_partial_products=num_partial_products,
+            num_lookup_polys=num_lookup_polys,
+            num_lookup_selectors=num_lookup_selectors,
+            luts=list(self.luts),
         )
 
         # per-point sigma rows for the partial-products pass
@@ -459,6 +552,8 @@ class CircuitBuilder(GadgetMixin):
             representative_map=forest.parents,
             circuit_digest=circuit_digest,
             gate_instances=self.gate_instances,
+            lookup_rows=list(self.lookup_rows),
+            lut_to_lookups=[list(l) for l in self.lut_to_lookups],
         )
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=cs_cap,

@@ -98,6 +98,13 @@ class CommonCircuitData:
     def num_quotient_polys(self) -> int:
         return self.config.num_challenges * self.quotient_degree_factor
 
+    def lookup_accumulator_degree(self) -> int:
+        return self.quotient_degree_factor - 1
+
+    def lookup_zs_all_range(self):
+        start = self.num_zs_partial_products_polys()
+        return range(start, start + self.num_all_lookup_polys())
+
     def get_fri_instance(self, zeta: Tuple[int, int]) -> FriInstanceInfo:
         """Two batches: everything at zeta; Zs (+lookups) at g*zeta
         (circuit_data.rs:592-614)."""
@@ -166,6 +173,8 @@ class ProverOnlyCircuitData:
     representative_map: List[int]
     circuit_digest: Tuple[int, int, int, int]
     gate_instances: List = None  # [GateInstance] per row (witness_check, debugging)
+    lookup_rows: List = field(default_factory=list)  # [(last_lu, last_lut, first_lut)]
+    lut_to_lookups: List = field(default_factory=list)
 
 
 @dataclass

@@ -24,7 +24,7 @@ from ..ops import gf, ntt
 from ..utils.bits import reverse_index_bits_perm
 from .circuit_data import CommonCircuitData, ProverOnlyCircuitData
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
-from .vanishing import quotient_values_fn
+from .vanishing import NUM_COINS_LOOKUP, get_lut_poly_eval, quotient_values_fn
 
 Ext = Tuple[int, int]
 
@@ -40,9 +40,11 @@ def prove(
 
     # 1. witness generation (host fixpoint)
     partition_witness = generate_partial_witness(inputs, prover_data, common)
+    set_lookup_wires(prover_data, common, partition_witness)
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = hp.hash_no_pad(public_inputs)
     witness = partition_witness.full_witness()
+    has_lookup = common.num_lookup_polys != 0
 
     # 2. oracle 1 — wires
     wires_dev = gf.from_u64(witness.wire_values)  # [num_wires, n]
@@ -58,9 +60,17 @@ def prove(
     challenger.observe_cap(wires_commitment.cap_u64())
     betas = challenger.get_n_challenges(nc)
     gammas = challenger.get_n_challenges(nc)
+    if has_lookup:
+        additional = challenger.get_n_challenges(NUM_COINS_LOOKUP * nc - 2 * nc)
+        deltas = betas + gammas + additional
+    else:
+        deltas = []
 
     # 4. permutation argument: Z + partial products (host numpy, vectorized)
     zs_pp_np = _zs_and_partial_products(witness, betas, gammas, prover_data, common)
+    if has_lookup:
+        lookup_np = compute_all_lookup_polys(witness, deltas, prover_data, common)
+        zs_pp_np = np.concatenate([zs_pp_np, lookup_np], axis=0)
     zs_pp_commitment = fo.PolynomialBatch.from_values(
         gf.from_u64(zs_pp_np), fri_config.rate_bits, False, fri_config.cap_height
     )
@@ -77,6 +87,7 @@ def prove(
         betas,
         gammas,
         alphas,
+        deltas,
     )
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
         quotient_chunks, fri_config.rate_bits, False, fri_config.cap_height
@@ -99,16 +110,17 @@ def prove(
     cs_evals = prover_data.constants_sigmas_commitment.eval_all_at_ext(zeta)
     zs_pp_evals = zs_pp_commitment.eval_all_at_ext(zeta)
     zs_pp_next_evals = zs_pp_commitment.eval_all_at_ext(zeta_next)
+    nzs = common.num_zs_partial_products_polys()
     openings = OpeningSet(
         constants=cs_evals[common.constants_range().start : common.constants_range().stop],
         plonk_sigmas=cs_evals[common.sigmas_range().start : common.sigmas_range().stop],
         wires=wires_commitment.eval_all_at_ext(zeta),
         plonk_zs=zs_pp_evals[: nc],
         plonk_zs_next=zs_pp_next_evals[: nc],
-        partial_products=zs_pp_evals[nc : common.num_zs_partial_products_polys()],
+        partial_products=zs_pp_evals[nc : nzs],
         quotient_polys=quotient_commitment.eval_all_at_ext(zeta),
-        lookup_zs=[],
-        lookup_zs_next=[],
+        lookup_zs=zs_pp_evals[nzs:],
+        lookup_zs_next=zs_pp_next_evals[nzs:],
     )
     fri_openings = openings.to_fri_openings()
     for batch in fri_openings.batches:
@@ -190,14 +202,18 @@ def _zs_and_partial_products(witness, betas, gammas, prover_data, common) -> np.
 # ---------------------------------------------------------------------------
 
 
-def _natural_order_values(batch: fo.PolynomialBatch) -> gf.Gf:
-    """Leaves are bit-reversed point-major [lde_n, M]; return poly-major
-    natural order [M, lde_n]."""
-    leaves = batch.merkle_tree.leaves
+@jax.jit
+def _natural_order_jit(leaves):
     perm = reverse_index_bits_perm(leaves[0].shape[0])
     lo = jnp.take(leaves[0], perm, axis=0).T
     hi = jnp.take(leaves[1], perm, axis=0).T
     return lo, hi
+
+
+def _natural_order_values(batch: fo.PolynomialBatch) -> gf.Gf:
+    """Leaves are bit-reversed point-major [lde_n, M]; return poly-major
+    natural order [M, lde_n]."""
+    return _natural_order_jit(batch.merkle_tree.leaves)
 
 
 def _compute_quotient_polys(
@@ -209,6 +225,7 @@ def _compute_quotient_polys(
     betas,
     gammas,
     alphas,
+    deltas=(),
 ):
     config = common.config
     qdb = common.quotient_degree_factor.bit_length() - 1
@@ -250,6 +267,20 @@ def _compute_quotient_polys(
         return gf.from_u64(a)
 
     qfn = quotient_values_fn(common)
+    deltas_arr = None
+    lut_evals_arr = None
+    if common.num_lookup_polys:
+        deltas_arr = pair_arr(list(deltas))
+        num_lut_slots = config.num_routed_wires // 3
+        ev = np.zeros((config.num_challenges, len(common.luts)), dtype=np.uint64)
+        for i in range(config.num_challenges):
+            d4 = deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)]
+            for li in range(len(common.luts)):
+                rows_cnt = -(-len(common.luts[li]) // num_lut_slots)
+                ev[i, li] = get_lut_poly_eval(
+                    common, li, d4[1], d4[3], num_lut_slots * rows_cnt
+                )
+        lut_evals_arr = gf.from_u64(ev)
     q_lo, q_hi = qfn(
         cs_nat,
         wires_nat,
@@ -261,10 +292,149 @@ def _compute_quotient_polys(
         pair_arr(gammas),
         pair_arr(alphas),
         pair_arr(list(public_inputs_hash)),
+        deltas=deltas_arr,
+        lut_evals=lut_evals_arr,
     )
     # coset-IFFT back to coefficients, split into degree-n chunks
-    coeffs = jax.jit(ntt.coset_ifft)((q_lo, q_hi))  # [nc, lde_n]
+    coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
     nc = config.num_challenges
     chunks_lo = coeffs[0].reshape(nc * common.quotient_degree_factor, n)
     chunks_hi = coeffs[1].reshape(nc * common.quotient_degree_factor, n)
     return chunks_lo, chunks_hi
+
+
+# ---------------------------------------------------------------------------
+# Lookups (prover.rs:42-140 set_lookup_wires; :489-637 compute_lookup_polys)
+# ---------------------------------------------------------------------------
+
+
+def set_lookup_wires(prover_data, common, pw) -> None:
+    """Computes multiplicities, pads the last LookupGate and fills the
+    LookupTableGate multiplicity wires."""
+    from ..iop.target import Target
+
+    config = common.config
+    num_entries = config.num_routed_wires // 2
+    num_lut_entries = config.num_routed_wires // 3
+    for lut_index, (last_lu, last_lut, first_lut) in enumerate(prover_data.lookup_rows):
+        lut = common.luts[lut_index]
+        value_to_idx = {}
+        for i, (inp, _) in enumerate(lut):
+            value_to_idx.setdefault(inp, i)
+        multiplicities = [0] * len(lut)
+        lookups = prover_data.lut_to_lookups[lut_index]
+        for (inp_t, _out_t) in lookups:
+            v = pw.get_target(inp_t)
+            assert v < (1 << 16), f"lookup input {v} exceeds u16"
+            multiplicities[value_to_idx[v]] += 1
+        remaining = (num_entries - (len(lookups) % num_entries)) % num_entries
+        fi, fo = lut[0]
+        from ..gates.lookup import LookupGate, LookupTableGate
+
+        for slot in range(num_entries - remaining, num_entries):
+            pw.set_target(
+                Target.wire(last_lut - 1, LookupGate.wire_ith_looking_inp(slot)), fi
+            )
+            pw.set_target(
+                Target.wire(last_lut - 1, LookupGate.wire_ith_looking_out(slot)), fo
+            )
+            multiplicities[0] += 1
+        for entry in range(len(lut)):
+            row = first_lut - entry // num_lut_entries
+            col = entry % num_lut_entries
+            pw.set_target(
+                Target.wire(row, LookupTableGate.wire_ith_multiplicity(col)),
+                multiplicities[entry],
+            )
+
+
+def compute_all_lookup_polys(witness, deltas, prover_data, common) -> np.ndarray:
+    """RE + partial-SLDC polynomials for every challenge set; returns
+    [nc * num_lookup_polys, degree] u64."""
+    out = []
+    for c in range(common.config.num_challenges):
+        out.extend(
+            _compute_lookup_polys(
+                witness,
+                deltas[c * NUM_COINS_LOOKUP : (c + 1) * NUM_COINS_LOOKUP],
+                prover_data,
+                common,
+            )
+        )
+    return np.array(out, dtype=np.uint64)
+
+
+def _compute_lookup_polys(witness, deltas4, prover_data, common):
+    from ..gates.lookup import LookupGate, LookupTableGate
+
+    degree = common.degree
+    config = common.config
+    num_lu_slots = config.num_routed_wires // 2
+    lu_degree = common.lookup_accumulator_degree()
+    num_partial = -(-num_lu_slots // lu_degree)
+    num_lut_slots = config.num_routed_wires // 3
+    lut_degree = -(-num_lut_slots // num_partial)
+    dA, dB, dAlpha, dDelta = deltas4
+
+    polys = [[0] * degree for _ in range(num_partial + 1)]
+
+    def wire(row, col):
+        return int(witness.wire_values[col][row])
+
+    for (last_lu, last_lut, first_lut) in prover_data.lookup_rows:
+        for row in range(first_lut, last_lut - 1, -1):
+            looked = [
+                gl.gadd(
+                    wire(row, LookupTableGate.wire_ith_looked_inp(s)),
+                    gl.gmul(dA, wire(row, LookupTableGate.wire_ith_looked_out(s))),
+                )
+                for s in range(num_lut_slots)
+            ]
+            inv = [gl.ginv(gl.gsub(dAlpha, c)) for c in looked]
+            combos = [
+                gl.gadd(
+                    wire(row, LookupTableGate.wire_ith_looked_inp(s)),
+                    gl.gmul(dB, wire(row, LookupTableGate.wire_ith_looked_out(s))),
+                )
+                for s in range(num_lut_slots)
+            ]
+            new_re = polys[0][row + 1] if row + 1 < degree else 0
+            for elt in combos:
+                new_re = gl.gadd(gl.gmul(new_re, dDelta), elt)
+            polys[0][row] = new_re
+            for slot in range(num_partial):
+                prev = (
+                    polys[slot][row]
+                    if slot != 0
+                    else (polys[num_partial][row + 1] if row + 1 < degree else 0)
+                )
+                acc = prev
+                for s in range(slot * lut_degree, min((slot + 1) * lut_degree, num_lut_slots)):
+                    acc = gl.gadd(
+                        acc,
+                        gl.gmul(
+                            wire(row, LookupTableGate.wire_ith_multiplicity(s)), inv[s]
+                        ),
+                    )
+                polys[slot + 1][row] = acc
+        for row in range(last_lut - 1, last_lu - 1, -1):
+            looking = [
+                gl.gadd(
+                    wire(row, LookupGate.wire_ith_looking_inp(s)),
+                    gl.gmul(dA, wire(row, LookupGate.wire_ith_looking_out(s))),
+                )
+                for s in range(num_lu_slots)
+            ]
+            inv = [gl.ginv(gl.gsub(dAlpha, c)) for c in looking]
+            for slot in range(num_partial):
+                prev = (
+                    polys[num_partial][row + 1]
+                    if slot == 0
+                    else polys[slot][row]
+                )
+                ssum = 0
+                for s in range(slot * lu_degree, min((slot + 1) * lu_degree, num_lu_slots)):
+                    ssum = gl.gadd(ssum, inv[s])
+                polys[slot + 1][row] = gl.gsub(prev, ssum)
+
+    return polys

@@ -163,6 +163,9 @@ def verify_proof_circuit(
 ) -> None:
     """builder.verify_proof — the recursion entry point."""
     assert len(pwp_t.public_inputs) == inner_common.num_public_inputs
+    assert inner_common.num_lookup_polys == 0, (
+        "recursive verification of lookup circuits lands in a later round"
+    )
     public_inputs_hash = builder.hash_n_to_hash_no_pad(list(pwp_t.public_inputs))
     challenges = get_challenges_circuit(
         builder, pwp_t, public_inputs_hash, inner_verifier_data, inner_common

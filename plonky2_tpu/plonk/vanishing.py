@@ -94,23 +94,47 @@ def _vanishing_terms(
     betas,  # algebra elements (per challenge)
     gammas,
     one_const,
+    local_lookup_zs=None,  # [nc * num_lookup_polys] algebra elements
+    next_lookup_zs=None,
+    deltas=None,  # [nc * NUM_COINS_LOOKUP] algebra elements
+    lut_evals=None,  # per challenge: per lut algebra elements
 ):
-    """Ordered term list: z1 terms | partial-product terms | gate terms
-    (vanishing_poly.rs:216-320)."""
+    """Ordered term list: z1 | partial-product | lookup | gate terms
+    (vanishing_poly.rs:80-160 ordering)."""
     nc = common.config.num_challenges
     num_prods = common.num_partial_products
     nr = common.config.num_routed_wires
+    has_lookup = common.num_lookup_polys != 0
 
     constraint_terms = _gate_constraint_terms(
         common, A, local_constants, local_wires, pis_hash
     )
+    si = common.selectors_info
+    lookup_selectors = local_constants[
+        si.num_selectors : si.num_selectors + common.num_lookup_selectors
+    ]
 
     z1_terms = []
     pp_terms = []
+    lookup_terms = []
     for i in range(nc):
         z_x = local_zs[i]
         z_gx = next_zs[i]
         z1_terms.append(A.mul(l_0_x, A.sub(z_x, one_const)))
+        if has_lookup:
+            nlp = common.num_lookup_polys
+            lookup_terms.extend(
+                _lookup_terms(
+                    common,
+                    A,
+                    local_wires,
+                    local_lookup_zs[nlp * i : nlp * (i + 1)],
+                    next_lookup_zs[nlp * i : nlp * (i + 1)],
+                    lookup_selectors,
+                    deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)],
+                    lut_evals[i],
+                )
+            )
         numerators = []
         denominators = []
         for j in range(nr):
@@ -127,7 +151,149 @@ def _vanishing_terms(
                 common.permutation_partial_product_degree(),
             )
         )
-    return z1_terms + pp_terms + constraint_terms
+    return z1_terms + pp_terms + lookup_terms + constraint_terms
+
+
+
+NUM_COINS_LOOKUP = 4  # ChallengeA, ChallengeB, ChallengeAlpha, ChallengeDelta
+
+
+def get_lut_poly_eval(common, lut_index: int, challenge_b: int, challenge_delta: int, degree: int) -> int:
+    """Host evaluation of the LUT polynomial at ChallengeDelta
+    (vanishing_poly.rs:30-52): coeffs are (inp + B*out) for padded entries,
+    zero-extended to `degree` and reversed."""
+    from ..field import goldilocks as _gl
+
+    lut = common.luts[lut_index]
+    nb_slots = common.config.num_routed_wires // 3
+    n = len(lut)
+    nb_padded = (nb_slots - n % nb_slots) % nb_slots
+    coeffs = [ _gl.gadd(i, _gl.gmul(challenge_b, o)) for i, o in lut ]
+    coeffs += [ _gl.gadd(lut[0][0], _gl.gmul(challenge_b, lut[0][1])) ] * nb_padded
+    coeffs += [0] * (degree - len(coeffs))
+    # reference reverses then evaluates sum coeffs[i] * x^i; equivalently,
+    # Horner over the pushed order (first entry gets the highest power)
+    acc = 0
+    for c in coeffs:
+        acc = _gl.gadd(_gl.gmul(acc, challenge_delta), c)
+    return acc
+
+
+def _lookup_terms(
+    common,
+    A,
+    local_wires,
+    local_lookup_zs_i,
+    next_lookup_zs_i,
+    lookup_selectors,
+    deltas4,
+    lut_evals_i,
+):
+    """Per-challenge lookup constraint terms, single-source over the
+    algebra (vanishing_poly.rs:341-512 check_lookup_constraints)."""
+    from ..gates.lookup import LookupGate, LookupTableGate
+
+    config = common.config
+    num_lu_slots = config.num_routed_wires // 2
+    num_lut_slots = config.num_routed_wires // 3
+    lu_degree = common.lookup_accumulator_degree()
+    num_sldc = len(local_lookup_zs_i) - 1
+    lut_degree = -(-num_lut_slots // num_sldc)
+    dA, dB, dAlpha, dDelta = deltas4
+
+    z_re = local_lookup_zs_i[0]
+    next_z_re = next_lookup_zs_i[0]
+    sldc = local_lookup_zs_i[1:]
+    next_sldc = next_lookup_zs_i[1:]
+
+    looked = [
+        A.add(
+            local_wires[LookupTableGate.wire_ith_looked_inp(s)],
+            A.mul(dA, local_wires[LookupTableGate.wire_ith_looked_out(s)]),
+        )
+        for s in range(num_lut_slots)
+    ]
+    looking = [
+        A.add(
+            local_wires[LookupGate.wire_ith_looking_inp(s)],
+            A.mul(dA, local_wires[LookupGate.wire_ith_looking_out(s)]),
+        )
+        for s in range(num_lu_slots)
+    ]
+    lookup_combos = [
+        A.add(
+            local_wires[LookupTableGate.wire_ith_looked_inp(s)],
+            A.mul(dB, local_wires[LookupTableGate.wire_ith_looked_out(s)]),
+        )
+        for s in range(num_lut_slots)
+    ]
+    minus_looked = [A.sub(dAlpha, c) for c in looked]
+    minus_looking = [A.sub(dAlpha, c) for c in looking]
+
+    TRANS_SRE, TRANS_LDC, INIT_SRE, LAST_LDC = 0, 1, 2, 3
+    constraints = []
+    constraints.append(A.mul(lookup_selectors[LAST_LDC], sldc[num_sldc - 1]))
+    constraints.append(A.mul(lookup_selectors[INIT_SRE], sldc[0]))
+    constraints.append(A.mul(lookup_selectors[INIT_SRE], z_re))
+
+    for r, lut_eval in enumerate(lut_evals_i):
+        ends_sel = lookup_selectors[4 + r]
+        constraints.append(A.mul(ends_sel, A.sub(z_re, lut_eval)))
+
+    cur_sum = next_z_re
+    for elt in lookup_combos:
+        cur_sum = A.add(A.mul(cur_sum, dDelta), elt)
+    constraints.append(
+        A.mul(lookup_selectors[TRANS_SRE], A.sub(z_re, cur_sum))
+    )
+
+    for poly in range(num_sldc):
+        lut_rng = range(poly * lut_degree, min((poly + 1) * lut_degree, num_lut_slots))
+        lu_rng = range(poly * lu_degree, min((poly + 1) * lu_degree, num_lu_slots))
+
+        lut_prod = None
+        for i in lut_rng:
+            lut_prod = minus_looked[i] if lut_prod is None else A.mul(lut_prod, minus_looked[i])
+        lu_prod = None
+        for i in lu_rng:
+            lu_prod = minus_looking[i] if lu_prod is None else A.mul(lu_prod, minus_looking[i])
+        if lut_prod is None:
+            lut_prod = A.one()
+        if lu_prod is None:
+            lu_prod = A.one()
+
+        def prod_except(rng, elems, skip):
+            acc = None
+            for j in rng:
+                if j == skip:
+                    continue
+                acc = elems[j] if acc is None else A.mul(acc, elems[j])
+            return acc if acc is not None else A.one()
+
+        lu_sum_prods = None
+        for i in lu_rng:
+            t = prod_except(lu_rng, minus_looking, i)
+            lu_sum_prods = t if lu_sum_prods is None else A.add(lu_sum_prods, t)
+        if lu_sum_prods is None:
+            lu_sum_prods = A.zero()
+
+        lut_sum_prods_mul = None
+        for i in lut_rng:
+            t = A.mul(
+                local_wires[LookupTableGate.wire_ith_multiplicity(i)],
+                prod_except(lut_rng, minus_looked, i),
+            )
+            lut_sum_prods_mul = t if lut_sum_prods_mul is None else A.add(lut_sum_prods_mul, t)
+        if lut_sum_prods_mul is None:
+            lut_sum_prods_mul = A.zero()
+
+        prev = next_sldc[num_sldc - 1] if poly == 0 else sldc[poly - 1]
+        sum_trans = A.sub(A.mul(lut_prod, A.sub(sldc[poly], prev)), lut_sum_prods_mul)
+        constraints.append(A.mul(lookup_selectors[TRANS_SRE], sum_trans))
+        ldc_trans = A.add(A.mul(lu_prod, A.sub(sldc[poly], prev)), lu_sum_prods)
+        constraints.append(A.mul(lookup_selectors[TRANS_LDC], ldc_trans))
+
+    return constraints
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +314,28 @@ def eval_vanishing_poly_host(
     betas: Sequence[int],
     gammas: Sequence[int],
     alphas: Sequence[int],
+    local_lookup_zs: Sequence[Ext] = (),
+    next_lookup_zs: Sequence[Ext] = (),
+    deltas: Sequence[int] = (),
 ) -> List[Ext]:
     A = HostExtAlgebra()
+    lut_evals = None
+    if common.num_lookup_polys:
+        lut_evals = []
+        num_lut_slots = common.config.num_routed_wires // 3
+        for i in range(common.config.num_challenges):
+            d4 = deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)]
+            evals_i = []
+            for li in range(len(common.luts)):
+                rows = -(-len(common.luts[li]) // num_lut_slots)
+                evals_i.append(
+                    A.const(
+                        get_lut_poly_eval(
+                            common, li, d4[1], d4[3], num_lut_slots * rows
+                        )
+                    )
+                )
+            lut_evals.append(evals_i)
     n = common.degree
     # L_0(zeta) = (zeta^n - 1) / (n * (zeta - 1))
     zeta_pow_n = ge.ext_exp(zeta, n)
@@ -175,6 +361,10 @@ def eval_vanishing_poly_host(
         [A.const(b) for b in betas],
         [A.const(g) for g in gammas],
         A.one(),
+        local_lookup_zs=[tuple(v) for v in local_lookup_zs],
+        next_lookup_zs=[tuple(v) for v in next_lookup_zs],
+        deltas=[A.const(d) for d in deltas],
+        lut_evals=lut_evals,
     )
     out = []
     for a in alphas:
@@ -256,6 +446,50 @@ def quotient_values_fn(common):
     si = common.selectors_info
     many = si.num_selectors > 1
     consts_offset = si.num_selectors + common.num_lookup_selectors
+    has_lookup = common.num_lookup_polys != 0
+    nzs = common.num_zs_partial_products_polys()
+    nlp = common.num_lookup_polys
+
+    def lookup_fn(cs_nat, wires_nat, zs_pp_nat, deltas, lut_evals):
+        b = cs_nat[0].shape[1]
+        A = DeviceBatchAlgebra(b)
+
+        def rows(vals, rng):
+            return [(vals[0][i], vals[1][i]) for i in rng]
+
+        local_constants = rows(cs_nat, range(consts_offset))
+        local_wires = rows(wires_nat, range(wires_nat[0].shape[0]))
+        lookup_selectors = local_constants[si.num_selectors : consts_offset]
+        lzs = rows(zs_pp_nat, range(nzs, nzs + nc * nlp))
+        nxt = [
+            (
+                jnp.roll(zs_pp_nat[0][i], -next_step, axis=-1),
+                jnp.roll(zs_pp_nat[1][i], -next_step, axis=-1),
+            )
+            for i in range(nzs, nzs + nc * nlp)
+        ]
+
+        def bc(lo, hi):
+            return (jnp.broadcast_to(lo, (b,)), jnp.broadcast_to(hi, (b,)))
+
+        terms = []
+        for i in range(nc):
+            d4 = [bc(deltas[0][4 * i + k], deltas[1][4 * i + k]) for k in range(4)]
+            evals_i = [
+                bc(lut_evals[0][i, li], lut_evals[1][i, li])
+                for li in range(len(common.luts))
+            ]
+            terms.extend(
+                _lookup_terms(
+                    common, A, local_wires,
+                    lzs[nlp * i : nlp * (i + 1)],
+                    nxt[nlp * i : nlp * (i + 1)],
+                    lookup_selectors, d4, evals_i,
+                )
+            )
+        return jnp.stack([t[0] for t in terms]), jnp.stack([t[1] for t in terms])
+
+    lookup_jit = jax.jit(lookup_fn) if has_lookup else None
 
     def gate_terms_fn(cs_nat, wires_nat, pis_hash):
         """Filtered constraint blocks per gate type (separate jits), padded
@@ -276,7 +510,7 @@ def quotient_values_fn(common):
             blocks.append(jfn(cs_nat, wires_nat, pis_hash))
         return _combine_blocks(blocks, common.num_gate_constraints)
 
-    def fn(cs_nat, zs_pp_nat, wires_nat, gate_terms, shifted_xs, l0, zh_inv, betas, gammas, alphas):
+    def fn(cs_nat, zs_pp_nat, wires_nat, gate_terms, lookup_terms, shifted_xs, l0, zh_inv, betas, gammas, alphas):
         # all *_nat are (lo,hi) pairs with shape [num_polys, lde_n]
         b = cs_nat[0].shape[1]
         constraint_terms = [
@@ -345,11 +579,13 @@ def quotient_values_fn(common):
         t_lo = jnp.concatenate(
             [jnp.stack([t[0] for t in z1_terms])]
             + [blk[0] for blk in pp_term_blocks]
+            + [lookup_terms[0]]
             + [jnp.stack([t[0] for t in constraint_terms])]
         )  # [T, B]
         t_hi = jnp.concatenate(
             [jnp.stack([t[1] for t in z1_terms])]
             + [blk[1] for blk in pp_term_blocks]
+            + [lookup_terms[1]]
             + [jnp.stack([t[1] for t in constraint_terms])]
         )
         num_terms = t_lo.shape[0]
@@ -366,10 +602,19 @@ def quotient_values_fn(common):
 
     jfn = jax.jit(fn)
 
-    def qfn(cs_nat, wires_nat, zs_pp_nat, shifted_xs, l0, zh_inv, betas, gammas, alphas, pis_hash):
+    def qfn(cs_nat, wires_nat, zs_pp_nat, shifted_xs, l0, zh_inv, betas, gammas, alphas, pis_hash,
+            deltas=None, lut_evals=None):
         gate_terms = gate_terms_fn(cs_nat, wires_nat, pis_hash)
+        if has_lookup:
+            lookup_terms = lookup_jit(cs_nat, wires_nat, zs_pp_nat, deltas, lut_evals)
+        else:
+            b = cs_nat[0].shape[1]
+            lookup_terms = (
+                jnp.zeros((0, b), dtype=gf.U32),
+                jnp.zeros((0, b), dtype=gf.U32),
+            )
         return jfn(
-            cs_nat, zs_pp_nat, wires_nat, gate_terms,
+            cs_nat, zs_pp_nat, wires_nat, gate_terms, lookup_terms,
             shifted_xs, l0, zh_inv, betas, gammas, alphas,
         )
 

@@ -14,7 +14,7 @@ from ..fri import verifier as fv
 from ..hash.challenger import Challenger
 from .circuit_data import CommonCircuitData, VerifierOnlyCircuitData
 from .proof import ProofChallenges, ProofWithPublicInputs
-from .vanishing import eval_vanishing_poly_host
+from .vanishing import NUM_COINS_LOOKUP, eval_vanishing_poly_host
 
 
 class VerificationError(Exception):
@@ -41,6 +41,11 @@ def get_challenges(
     ch.observe_cap(proof.wires_cap)
     plonk_betas = ch.get_n_challenges(nc)
     plonk_gammas = ch.get_n_challenges(nc)
+    if common.num_lookup_polys:
+        additional = ch.get_n_challenges(NUM_COINS_LOOKUP * nc - 2 * nc)
+        plonk_deltas = plonk_betas + plonk_gammas + additional
+    else:
+        plonk_deltas = []
     ch.observe_cap(proof.plonk_zs_partial_products_cap)
     plonk_alphas = ch.get_n_challenges(nc)
     ch.observe_cap(proof.quotient_polys_cap)
@@ -57,7 +62,7 @@ def get_challenges(
         common.config.fri_config,
     )
     return ProofChallenges(
-        plonk_betas, plonk_gammas, plonk_alphas, [], plonk_zeta, fri_challenges
+        plonk_betas, plonk_gammas, plonk_alphas, plonk_deltas, plonk_zeta, fri_challenges
     )
 
 
@@ -102,6 +107,9 @@ def verify_with_challenges(
         challenges.plonk_betas,
         challenges.plonk_gammas,
         challenges.plonk_alphas,
+        local_lookup_zs=o.lookup_zs,
+        next_lookup_zs=o.lookup_zs_next,
+        deltas=challenges.plonk_deltas,
     )
 
     # vanishing(zeta) == Z_H(zeta) * t(zeta), per challenge

@@ -28,12 +28,7 @@ from .vanishing import run_binding_step
 _QUOTIENT_CACHE: Dict = {}
 
 
-def _natural_order_values(batch: fo.PolynomialBatch):
-    leaves = batch.merkle_tree.leaves
-    perm = reverse_index_bits_perm(leaves[0].shape[0])
-    lo = jnp.take(leaves[0], perm, axis=0).T
-    hi = jnp.take(leaves[1], perm, axis=0).T
-    return lo, hi
+from ..plonk.prover import _natural_order_values
 
 
 def _quotient_fn(stark: Stark, nc: int, rate_bits: int):
@@ -166,7 +161,7 @@ def prove(
         pair(alphas),
         pair([p % gl.P for p in public_inputs]),
     )
-    coeffs = jax.jit(ntt.coset_ifft)((q_lo, q_hi))  # [nc, lde_n]
+    coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
     qdf = stark.quotient_degree_factor()
     # keep the first qdf degree-n chunks per challenge
     chunks_lo = coeffs[0].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
