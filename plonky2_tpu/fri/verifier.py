@@ -279,3 +279,47 @@ def fri_challenges(
         c % lde_size for c in challenger.get_n_challenges(config.num_query_rounds)
     ]
     return FriChallenges(fri_alpha, fri_betas, fri_pow_response, fri_query_indices)
+
+
+def get_fri_inferred_elements(
+    instance: FriInstanceInfo,
+    openings: FriOpenings,
+    challenges: FriChallenges,
+    proof: FriProof,
+    params: FriParams,
+) -> List[Ext]:
+    """The per-query per-step evaluations a verifier can infer (and a
+    compressed proof therefore omits) — reference proof.rs
+    get_inferred_elements."""
+    n = params.lde_size
+    log_n = log2_strict(n)
+    precomputed = PrecomputedReducedOpenings(openings, challenges.fri_alpha)
+    out: List[Ext] = []
+    for x_index, round_proof in zip(
+        challenges.fri_query_indices, proof.query_round_proofs
+    ):
+        subgroup_x = gl.gmul(
+            gl.MULTIPLICATIVE_GROUP_GENERATOR,
+            gl.gexp(gl.primitive_root_of_unity(log_n), reverse_bits(x_index, log_n)),
+        )
+        old_eval = fri_combine_initial(
+            instance,
+            round_proof.initial_trees_proof,
+            challenges.fri_alpha,
+            subgroup_x,
+            precomputed,
+            params,
+        )
+        for i, arity_bits in enumerate(params.reduction_arity_bits):
+            out.append(tuple(old_eval))
+            arity = 1 << arity_bits
+            evals = round_proof.steps[i].evals
+            coset_index = x_index >> arity_bits
+            x_index_within_coset = x_index & (arity - 1)
+            old_eval = compute_evaluation(
+                subgroup_x, x_index_within_coset, arity_bits, evals,
+                challenges.fri_betas[i],
+            )
+            subgroup_x = gl.exp_power_of_2(subgroup_x, arity_bits)
+            x_index = coset_index
+    return out
