@@ -156,6 +156,11 @@ class CircuitBuilder(GadgetMixin):
         by[gate.id()] = by.get(gate.id(), 0) + 1
         return row
 
+    def add_gate_to_gate_set(self, gate: Gate) -> None:
+        """Register a gate type without instantiating a row (dummy
+        circuits must match another circuit's gate set)."""
+        self.gates[gate.id()] = gate
+
     def find_slot(
         self, gate, params: List[int], constants: List[int]
     ) -> Tuple[int, int]:
