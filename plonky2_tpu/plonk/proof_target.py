@@ -117,7 +117,7 @@ def _oracle_leaf_widths(common: CommonCircuitData) -> List[int]:
     ]
 
 
-def add_virtual_fri_proof(builder, common: CommonCircuitData) -> FriProofTarget:
+def add_virtual_fri_proof(builder, common, widths=None) -> FriProofTarget:
     params = common.fri_params
     cap_height = params.config.cap_height
     lde_bits = params.lde_bits
@@ -126,7 +126,8 @@ def add_virtual_fri_proof(builder, common: CommonCircuitData) -> FriProofTarget:
         add_virtual_cap(builder, cap_height) for _ in params.reduction_arity_bits
     ]
 
-    widths = _oracle_leaf_widths(common)
+    if widths is None:
+        widths = _oracle_leaf_widths(common)
     rounds = []
     for _ in range(params.config.num_query_rounds):
         evals_proofs = []

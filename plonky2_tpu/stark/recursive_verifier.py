@@ -1,0 +1,260 @@
+"""Recursive STARK verification: a STARK proof verified inside a plonky2
+circuit (reference: starky/src/recursive_verifier.rs:32-404,
+get_challenges.rs circuit duals — including this fork's constraint-
+binding transcript step).
+
+The Stark's constraints evaluate in-circuit through the same
+single-source ``Stark.eval`` used by the prover kernel and host
+verifier, instantiated with CircuitAlgebra."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+from ..field import goldilocks as gl
+from ..fri.recursive_verifier import (
+    FriInstanceInfoTarget,
+    fri_challenges_circuit,
+    verify_fri_proof_circuit,
+)
+from ..gates.algebra import CircuitAlgebra
+from ..hash.recursive_challenger import RecursiveChallenger
+from ..iop.target import ExtensionTarget, Target
+from ..plonk.proof_target import (
+    MerkleCapTarget,
+    add_virtual_cap,
+    add_virtual_fri_proof,
+    add_virtual_merkle_proof,
+    _set_cap,
+    _set_ext,
+    _set_exts,
+)
+from ..utils.bits import log2_ceil
+from .config import StarkConfig
+from .stark import ConstraintConsumer, Stark, StarkFrame
+
+
+@dataclass
+class StarkOpeningSetTarget:
+    local_values: List[ExtensionTarget]
+    next_values: List[ExtensionTarget]
+    quotient_polys: List[ExtensionTarget]
+
+
+@dataclass
+class StarkProofTarget:
+    trace_cap: MerkleCapTarget
+    quotient_polys_cap: MerkleCapTarget
+    openings: StarkOpeningSetTarget
+    opening_proof: object  # FriProofTarget
+
+
+@dataclass
+class StarkProofWithPublicInputsTarget:
+    proof: StarkProofTarget
+    public_inputs: List[Target]
+
+
+def add_virtual_stark_proof_with_pis(
+    builder, stark: Stark, config: StarkConfig, degree_bits: int
+) -> StarkProofWithPublicInputsTarget:
+    cap_height = config.fri_config.cap_height
+    fri_params = config.fri_params(degree_bits)
+    # reuse the generic FRI proof allocation with STARK oracle widths
+    from ..plonk import proof_target as pt
+
+    class _CommonShim:
+        pass
+
+    shim = _CommonShim()
+    shim.fri_params = fri_params
+    shim.config = config
+
+    widths = [stark.num_columns(), stark.num_quotient_polys(config)]
+    fri = add_virtual_fri_proof(builder, shim, widths=widths)
+
+    openings = StarkOpeningSetTarget(
+        local_values=builder.add_virtual_extension_targets(stark.num_columns()),
+        next_values=builder.add_virtual_extension_targets(stark.num_columns()),
+        quotient_polys=builder.add_virtual_extension_targets(
+            stark.num_quotient_polys(config)
+        ),
+    )
+    proof = StarkProofTarget(
+        trace_cap=add_virtual_cap(builder, cap_height),
+        quotient_polys_cap=add_virtual_cap(builder, cap_height),
+        openings=openings,
+        opening_proof=fri,
+    )
+    pis = builder.add_virtual_targets(stark.num_public_inputs())
+    return StarkProofWithPublicInputsTarget(proof, pis)
+
+
+def set_stark_proof_with_pis_target(pw, target: StarkProofWithPublicInputsTarget, pwp) -> None:
+    proof = pwp.proof
+    for t, v in zip(target.public_inputs, pwp.public_inputs):
+        pw.set_target(t, int(v))
+    _set_cap(pw, target.proof.trace_cap, proof.trace_cap)
+    _set_cap(pw, target.proof.quotient_polys_cap, proof.quotient_polys_cap)
+    o_t, o = target.proof.openings, proof.openings
+    _set_exts(pw, o_t.local_values, o.local_values)
+    _set_exts(pw, o_t.next_values, o.next_values)
+    _set_exts(pw, o_t.quotient_polys, o.quotient_polys)
+
+    f_t, f = target.proof.opening_proof, proof.opening_proof
+    for cap_t, cap in zip(f_t.commit_phase_merkle_caps, f.commit_phase_merkle_caps):
+        _set_cap(pw, cap_t, cap)
+    for round_t, rnd in zip(f_t.query_round_proofs, f.query_round_proofs):
+        for (evals_t, mp_t), (evals, mp) in zip(
+            round_t.initial_trees_proof.evals_proofs,
+            rnd.initial_trees_proof.evals_proofs,
+        ):
+            for t, v in zip(evals_t, evals):
+                pw.set_target(t, int(v))
+            for sib_t, sib in zip(mp_t.siblings, mp.siblings):
+                for t, v in zip(sib_t, sib):
+                    pw.set_target(t, int(v))
+        for step_t, step in zip(round_t.steps, rnd.steps):
+            _set_exts(pw, step_t.evals, step.evals)
+            for sib_t, sib in zip(step_t.merkle_proof.siblings, step.merkle_proof.siblings):
+                for t, v in zip(sib_t, sib):
+                    pw.set_target(t, int(v))
+    _set_exts(pw, f_t.final_poly, f.final_poly)
+    pw.set_target(f_t.pow_witness, int(f.pow_witness))
+
+
+def _observe_config(builder, ch: RecursiveChallenger, config: StarkConfig) -> None:
+    vals = [
+        config.security_bits,
+        config.num_challenges,
+        config.fri_config.rate_bits,
+        config.fri_config.cap_height,
+        config.fri_config.proof_of_work_bits,
+        *config.fri_config.reduction_strategy.serialize(),
+        config.fri_config.num_query_rounds,
+    ]
+    ch.observe_elements([builder.constant(v) for v in vals])
+
+
+def _eval_vanishing_circuit(
+    builder, stark, config, degree_bits, local_values, next_values, public_inputs,
+    alphas_ext, zeta: ExtensionTarget,
+) -> List[ExtensionTarget]:
+    """Single-point in-circuit constraint evaluation via the shared
+    consumer (vanishing_poly.rs eval_vanishing_poly_circuit +
+    eval_l_0_and_l_last_circuit)."""
+    A = CircuitAlgebra(builder)
+    n = 1 << degree_bits
+    g = gl.primitive_root_of_unity(degree_bits)
+    one = builder.one_extension()
+    z_x = builder.sub_extension(
+        builder.exp_power_of_2_extension(zeta, degree_bits), one
+    )
+    l0_den = builder.constant_scalar_mul_ext(n % gl.P, builder.sub_extension(zeta, one))
+    llast_den = builder.constant_scalar_mul_ext(
+        n % gl.P,
+        builder.sub_extension(builder.constant_scalar_mul_ext(g, zeta), one),
+    )
+    l_0 = builder.div_extension(z_x, l0_den)
+    l_last = builder.div_extension(z_x, llast_den)
+    last = gl.gexp(g, n - 1)
+    z_last = builder.sub_extension(zeta, builder.constant_extension((last, 0)))
+
+    frame = StarkFrame(
+        local_values=list(local_values),
+        next_values=list(next_values),
+        public_inputs=[builder.convert_to_ext(t) for t in public_inputs],
+    )
+    consumer = ConstraintConsumer(A, alphas_ext, z_last, l_0, l_last)
+    stark.eval(frame, consumer, A)
+    return consumer.accumulators()
+
+
+def verify_stark_proof_circuit(
+    builder,
+    stark: Stark,
+    pwp_t: StarkProofWithPublicInputsTarget,
+    config: StarkConfig,
+    degree_bits: int,
+) -> None:
+    nc = config.num_challenges
+    proof = pwp_t.proof
+    ch = RecursiveChallenger(builder)
+    ch.observe_elements(pwp_t.public_inputs)
+    _observe_config(builder, ch, config)
+    ch.observe_cap(proof.trace_cap)
+
+    alphas_prime = ch.get_n_challenges(nc)
+
+    # constraint-binding step (prover.rs:263-370), in-circuit
+    C = stark.num_columns()
+    total = C * 2
+    pow_degree = max(2, stark.constraint_degree() + 1)
+    num_ext_powers = max(1, 50 // log2_ceil(pow_degree) - 1)
+    num_zetas = -(-total // num_ext_powers)
+    zetas = [ch.get_extension_challenge() for _ in range(num_zetas)]
+    nb_per = min(num_ext_powers + 1, total)
+    dummy: List[ExtensionTarget] = []
+    for z in zetas:
+        cur = z
+        for _ in range(nb_per):
+            dummy.append(cur)
+            cur = builder.exp_u64_extension(cur, pow_degree)
+    zeta_prime = ch.get_extension_challenge()
+    constraints = _eval_vanishing_circuit(
+        builder, stark, config, degree_bits,
+        dummy[:C], dummy[C : 2 * C], pwp_t.public_inputs,
+        [builder.convert_to_ext(a) for a in alphas_prime], zeta_prime,
+    )
+    ch.observe_extension_elements(constraints)
+    alphas = ch.get_n_challenges(nc)
+
+    ch.observe_cap(proof.quotient_polys_cap)
+    zeta = ch.get_extension_challenge()
+
+    o = proof.openings
+    zeta_batch_vals = o.local_values + o.quotient_polys
+    zeta_next_batch_vals = o.next_values
+    for batch in (zeta_batch_vals, zeta_next_batch_vals):
+        ch.observe_extension_elements(batch)
+
+    fri_ch = fri_challenges_circuit(
+        builder, ch,
+        proof.opening_proof.commit_phase_merkle_caps,
+        proof.opening_proof.final_poly,
+        proof.opening_proof.pow_witness,
+        config.fri_config,
+    )
+
+    # quotient identity at zeta
+    vanishing = _eval_vanishing_circuit(
+        builder, stark, config, degree_bits,
+        o.local_values, o.next_values, pwp_t.public_inputs,
+        [builder.convert_to_ext(a) for a in alphas], zeta,
+    )
+    one = builder.one_extension()
+    zeta_pow_deg = builder.exp_power_of_2_extension(zeta, degree_bits)
+    z_h_zeta = builder.sub_extension(zeta_pow_deg, one)
+    qdf = stark.quotient_degree_factor()
+    for i in range(nc):
+        chunk = o.quotient_polys[i * qdf : (i + 1) * qdf]
+        acc = builder.eval_ext_poly_at(list(chunk), zeta_pow_deg)
+        builder.connect_extension(vanishing[i], builder.mul_extension(z_h_zeta, acc))
+
+    # FRI
+    g = gl.primitive_root_of_unity(degree_bits)
+    static_instance = stark.fri_instance((0, 0), g, config)
+    zeta_next = builder.constant_scalar_mul_ext(g, zeta)
+    instance_t = FriInstanceInfoTarget(
+        static_info=static_instance, batch_points=[zeta, zeta_next]
+    )
+    verify_fri_proof_circuit(
+        builder,
+        instance_t,
+        [zeta_batch_vals, zeta_next_batch_vals],
+        fri_ch,
+        [proof.trace_cap, proof.quotient_polys_cap],
+        proof.opening_proof,
+        config.fri_params(degree_bits),
+    )
