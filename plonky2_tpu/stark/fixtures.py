@@ -8,6 +8,7 @@ from typing import List
 import numpy as np
 
 from ..field import goldilocks as gl
+from .lookup import Column, Filter, Lookup
 from .stark import ConstraintConsumer, Stark, StarkFrame
 
 
@@ -57,3 +58,47 @@ def fibonacci_res(num_rows: int, x0: int, x1: int) -> int:
     for _ in range(num_rows - 1):
         a, b = b, gl.gadd(a, b)
     return b
+
+
+class PermutationStark(Stark):
+    """Columns [c0, c1, freq=1] where c1 is a permutation of c0; no base
+    constraints — only the logUp lookup binds them (reference:
+    starky/src/permutation_stark.rs:24-100)."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def num_columns(self) -> int:
+        return 3
+
+    def num_public_inputs(self) -> int:
+        return 1
+
+    def constraint_degree(self) -> int:
+        return 0
+
+    def lookups(self) -> List[Lookup]:
+        return [
+            Lookup(
+                columns=[Column.single(0)],
+                table_column=Column.single(1),
+                frequencies_column=Column.single(2),
+                filter_columns=[Filter.default()],
+            )
+        ]
+
+    def generate_trace(self, x0: int) -> np.ndarray:
+        """(permutation_stark.rs:39-51): rows (x0+i, x0+1+i, 1) with the
+        last row's column-1 overwritten by x0 so col1 is a rotation of col0."""
+        c0 = np.array(
+            [gl.gadd(x0, i) for i in range(self.num_rows)], dtype=np.uint64
+        )
+        c1 = np.array(
+            [gl.gadd(x0, i + 1) for i in range(self.num_rows)], dtype=np.uint64
+        )
+        c1[self.num_rows - 1] = x0
+        freq = np.ones(self.num_rows, dtype=np.uint64)
+        return np.stack([c0, c1, freq])
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        pass

@@ -59,6 +59,7 @@ class StarkProofWithPublicInputs:
 
 @dataclass
 class StarkProofChallenges:
+    lookup_challenges: Optional[List[int]]
     stark_alphas_prime: List[int]
     simulating_zetas: List[Ext]
     stark_zeta_prime: Ext

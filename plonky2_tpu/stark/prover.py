@@ -21,9 +21,14 @@ from ..hash.challenger import Challenger
 from ..ops import gf, ntt
 from ..utils.bits import reverse_index_bits_perm
 from .config import StarkConfig
+from .lookup import (
+    LookupCheckVars,
+    all_lookup_helper_columns,
+    get_grand_product_challenge_set,
+)
 from .proof import StarkOpeningSet, StarkProof, StarkProofWithPublicInputs
 from .stark import ConstraintConsumer, Stark, StarkFrame
-from .vanishing import run_binding_step
+from .vanishing import eval_vanishing_generic, run_binding_step
 
 _QUOTIENT_CACHE: Dict = {}
 
@@ -31,24 +36,29 @@ _QUOTIENT_CACHE: Dict = {}
 from ..plonk.prover import _natural_order_values
 
 
-def _quotient_fn(stark: Stark, nc: int, rate_bits: int):
-    key = (id(stark), nc, rate_bits)
+def _quotient_fn(stark: Stark, nc: int, rate_bits: int, uses_lookups: bool):
+    key = (id(stark), nc, rate_bits, uses_lookups)
     if key in _QUOTIENT_CACHE:
         return _QUOTIENT_CACHE[key]
 
     next_step = 1 << rate_bits
 
-    def fn(trace_nat, z_last, l_first, l_last, zh_inv, alphas, pis):
+    def fn(trace_nat, aux_nat, lchals, z_last, l_first, l_last, zh_inv, alphas, pis):
         b = trace_nat[0].shape[1]
         A = DeviceBatchAlgebra(b)
-        local = [(trace_nat[0][i], trace_nat[1][i]) for i in range(trace_nat[0].shape[0])]
-        nxt = [
-            (
-                jnp.roll(trace_nat[0][i], -next_step, axis=-1),
-                jnp.roll(trace_nat[1][i], -next_step, axis=-1),
-            )
-            for i in range(trace_nat[0].shape[0])
-        ]
+
+        def rows(nat):
+            local = [(nat[0][i], nat[1][i]) for i in range(nat[0].shape[0])]
+            nxt = [
+                (
+                    jnp.roll(nat[0][i], -next_step, axis=-1),
+                    jnp.roll(nat[1][i], -next_step, axis=-1),
+                )
+                for i in range(nat[0].shape[0])
+            ]
+            return local, nxt
+
+        local, nxt = rows(trace_nat)
         pis_b = [
             (
                 jnp.broadcast_to(pis[0][i], (b,)),
@@ -71,7 +81,18 @@ def _quotient_fn(stark: Stark, nc: int, rate_bits: int):
             (l_first[0], l_first[1]),
             (l_last[0], l_last[1]),
         )
-        stark.eval(frame, consumer, A)
+        lookup_vars = None
+        if uses_lookups:
+            aux_local, aux_next = rows(aux_nat)
+            chal_elems = [
+                (
+                    jnp.broadcast_to(lchals[0][i], (b,)),
+                    jnp.broadcast_to(lchals[1][i], (b,)),
+                )
+                for i in range(lchals[0].shape[0])
+            ]
+            lookup_vars = LookupCheckVars(aux_local, aux_next, chal_elems)
+        eval_vanishing_generic(stark, frame, consumer, A, lookup_vars)
         accs = consumer.accumulators()
         out_lo, out_hi = [], []
         for acc in accs:
@@ -114,10 +135,31 @@ def prove(
     config.observe(challenger)
     challenger.observe_cap(trace_commitment.cap_u64())
 
-    # (no lookups/CTLs in this round: no auxiliary commitment)
+    # logUp lookups: grand-product challenges, helper columns, aux oracle
+    # (prover.rs:163-240)
+    lookup_challenges = None
+    aux_commitment = None
+    num_lookup_columns = 0
+    if stark.uses_lookups():
+        challenge_set = get_grand_product_challenge_set(challenger, nc)
+        lookup_challenges = [ch.beta for ch in challenge_set.challenges]
+        aux_cols = all_lookup_helper_columns(stark, trace, lookup_challenges)
+        num_lookup_columns = len(aux_cols)
+        aux_commitment = fo.PolynomialBatch.from_values(
+            gf.from_u64(np.stack(aux_cols)), rate_bits, False, cap_height
+        )
+        challenger.observe_cap(aux_commitment.cap_u64())
+
     alphas_prime = challenger.get_n_challenges(nc)
     alphas = run_binding_step(
-        stark, challenger, public_inputs, alphas_prime, degree_bits
+        stark,
+        challenger,
+        public_inputs,
+        alphas_prime,
+        degree_bits,
+        num_aux=num_lookup_columns,
+        lookup_challenges=lookup_challenges,
+        num_lookup_columns=num_lookup_columns,
     )
 
     # 2. quotient over the full-rate coset
@@ -147,13 +189,18 @@ def prove(
     z_last = gl.np_sub(xs, np.uint64(last))
 
     trace_nat = _natural_order_values(trace_commitment)
-    qfn = _quotient_fn(stark, nc, rate_bits)
+    qfn = _quotient_fn(stark, nc, rate_bits, stark.uses_lookups())
 
     def pair(vals):
         return gf.from_u64(np.array(vals, dtype=np.uint64))
 
+    aux_nat = (
+        _natural_order_values(aux_commitment) if aux_commitment is not None else pair([])
+    )
     q_lo, q_hi = qfn(
         trace_nat,
+        aux_nat,
+        pair(lookup_challenges or []),
         gf.from_u64(z_last),
         gf.from_u64(l_first),
         gf.from_u64(l_last),
@@ -179,8 +226,12 @@ def prove(
     openings = StarkOpeningSet(
         local_values=trace_commitment.eval_all_at_ext(zeta),
         next_values=trace_commitment.eval_all_at_ext(zeta_next),
-        auxiliary_polys=None,
-        auxiliary_polys_next=None,
+        auxiliary_polys=(
+            aux_commitment.eval_all_at_ext(zeta) if aux_commitment else None
+        ),
+        auxiliary_polys_next=(
+            aux_commitment.eval_all_at_ext(zeta_next) if aux_commitment else None
+        ),
         ctl_zs_first=None,
         quotient_polys=quotient_commitment.eval_all_at_ext(zeta),
     )
@@ -189,13 +240,17 @@ def prove(
         challenger.observe_extension_elements(batch.values)
 
     instance = stark.fri_instance(zeta, g_base, config)
-    opening_proof = fo.prove_openings(
-        instance, [trace_commitment, quotient_commitment], challenger, fri_params
-    )
+    commitments = [trace_commitment]
+    if aux_commitment is not None:
+        commitments.append(aux_commitment)
+    commitments.append(quotient_commitment)
+    opening_proof = fo.prove_openings(instance, commitments, challenger, fri_params)
 
     proof = StarkProof(
         trace_cap=trace_commitment.cap_u64(),
-        auxiliary_polys_cap=None,
+        auxiliary_polys_cap=(
+            aux_commitment.cap_u64() if aux_commitment is not None else None
+        ),
         quotient_polys_cap=quotient_commitment.cap_u64(),
         openings=openings,
         opening_proof=opening_proof,

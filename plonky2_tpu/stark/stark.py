@@ -84,13 +84,23 @@ class Stark:
     # -- lookups / CTLs (overridable; defaults: none) ------------------------
 
     def uses_lookups(self) -> bool:
-        return False
+        return bool(self.lookups())
 
     def lookups(self) -> List:
         return []
 
     def requires_ctls(self) -> bool:
         return False
+
+    def num_lookup_helper_columns(self, config) -> int:
+        """Total lookup helper columns across challenges (stark.rs:292-300)."""
+        return (
+            sum(
+                lookup.num_helper_columns(self.constraint_degree())
+                for lookup in self.lookups()
+            )
+            * config.num_challenges
+        )
 
     # -- derived parameters (stark.rs:84-112) --------------------------------
 
@@ -101,13 +111,26 @@ class Stark:
     def num_quotient_polys(self, config) -> int:
         return self.quotient_degree_factor() * config.num_challenges
 
-    def fri_instance(self, zeta, g: int, config) -> FriInstanceInfo:
-        """Opening spec: everything at zeta; trace+aux at g*zeta
-        (stark.rs:115-197)."""
+    def fri_instance(
+        self,
+        zeta,
+        g: int,
+        config,
+        num_ctl_helpers: int = 0,
+        num_ctl_zs: int = 0,
+    ) -> FriInstanceInfo:
+        """Opening spec: everything at zeta; trace+aux at g*zeta; CTL Z
+        polys additionally at 1 (stark.rs:115-197)."""
         oracles = []
         trace_info = FriPolynomialInfo.from_range(0, 0, self.num_columns())
         oracles.append(FriOracleInfo(self.num_columns(), False))
+
+        num_lookup_columns = self.num_lookup_helper_columns(config)
+        num_aux = num_lookup_columns + num_ctl_helpers + num_ctl_zs
         aux_info: List[FriPolynomialInfo] = []
+        if self.uses_lookups() or self.requires_ctls():
+            aux_info = FriPolynomialInfo.from_range(len(oracles), 0, num_aux)
+            oracles.append(FriOracleInfo(num_aux, False))
 
         nq = self.num_quotient_polys(config)
         quotient_info = (
@@ -123,4 +146,10 @@ class Stark:
         zeta_next_batch = FriBatchInfo.from_polys(
             tuple(zeta_next), trace_info + aux_info
         )
-        return FriInstanceInfo(oracles=oracles, batches=[zeta_batch, zeta_next_batch])
+        batches = [zeta_batch, zeta_next_batch]
+        if self.requires_ctls():
+            ctl_zs_info = FriPolynomialInfo.from_range(
+                1, num_lookup_columns + num_ctl_helpers, num_aux
+            )
+            batches.append(FriBatchInfo.from_polys(ge.ext_one(2), ctl_zs_info))
+        return FriInstanceInfo(oracles=oracles, batches=batches)

@@ -14,10 +14,27 @@ from ..field import extension as ge
 from ..field import goldilocks as gl
 from ..gates.algebra import HostExtAlgebra
 from ..utils.bits import log2_ceil
+from .lookup import LookupCheckVars, eval_lookups
 from .proof import StarkOpeningSet
 from .stark import ConstraintConsumer, Stark, StarkFrame
 
 Ext = Tuple[int, ...]
+
+
+def eval_vanishing_generic(
+    stark: Stark, frame: StarkFrame, consumer, A, lookup_vars=None, ctl_vars=None
+) -> None:
+    """Single-source constraint accumulation: base constraints, then logUp
+    lookups, then CTLs (vanishing_poly.rs:28-95) — over any algebra A."""
+    stark.eval(frame, consumer, A)
+    if lookup_vars is not None:
+        eval_lookups(stark, stark.lookups(), frame, lookup_vars, consumer, A)
+    if ctl_vars is not None:
+        from .cross_table_lookup import eval_cross_table_lookup_checks
+
+        eval_cross_table_lookup_checks(
+            frame, ctl_vars, consumer, A, stark.constraint_degree()
+        )
 
 
 def eval_l_0_and_l_last(log_n: int, x: Ext) -> Tuple[Ext, Ext]:
@@ -38,6 +55,9 @@ def eval_vanishing_at_point(
     alphas: List[int],
     zeta: Ext,
     degree_bits: int,
+    lookup_challenges: List[int] = None,
+    num_lookup_columns: int = 0,
+    ctl_vars=None,
 ) -> List[Ext]:
     """Host exact single-point evaluation (verifier + binding step)."""
     A = HostExtAlgebra()
@@ -53,7 +73,14 @@ def eval_vanishing_at_point(
     consumer = ConstraintConsumer(
         A, [A.const(a) for a in alphas], z_last, l_0, l_last
     )
-    stark.eval(frame, consumer, A)
+    lookup_vars = None
+    if lookup_challenges is not None:
+        lookup_vars = LookupCheckVars(
+            local_values=[tuple(v) for v in openings.auxiliary_polys[:num_lookup_columns]],
+            next_values=[tuple(v) for v in openings.auxiliary_polys_next[:num_lookup_columns]],
+            challenges=[A.const(c) for c in lookup_challenges],
+        )
+    eval_vanishing_generic(stark, frame, consumer, A, lookup_vars, ctl_vars)
     return consumer.accumulators()
 
 
@@ -97,13 +124,22 @@ def run_binding_step(
     alphas_prime: List[int],
     degree_bits: int,
     num_aux: int = 0,
+    lookup_challenges: List[int] = None,
+    num_lookup_columns: int = 0,
 ) -> List[int]:
     """Binding: evaluate constraints on simulated values at a random point,
     observe, then draw the real alphas. Returns stark_alphas."""
     dummy_openings, _zetas = binding_dummy_openings(stark, challenger, num_aux)
     zeta_prime = challenger.get_extension_challenge(2)
     constraints = eval_vanishing_at_point(
-        stark, dummy_openings, public_inputs, alphas_prime, zeta_prime, degree_bits
+        stark,
+        dummy_openings,
+        public_inputs,
+        alphas_prime,
+        zeta_prime,
+        degree_bits,
+        lookup_challenges=lookup_challenges,
+        num_lookup_columns=num_lookup_columns,
     )
     challenger.observe_extension_elements(constraints)
     return challenger.get_n_challenges(len(alphas_prime))

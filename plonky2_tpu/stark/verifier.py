@@ -10,6 +10,7 @@ from ..field import goldilocks as gl
 from ..fri import verifier as fv
 from ..hash.challenger import Challenger
 from .config import StarkConfig
+from .lookup import get_grand_product_challenge_set
 from .proof import StarkProofChallenges, StarkProofWithPublicInputs
 from .stark import Stark
 from .vanishing import eval_vanishing_at_point, run_binding_step
@@ -36,9 +37,32 @@ def get_challenges(
     ch.observe_elements([p % gl.P for p in proof_with_pis.public_inputs])
     config.observe(ch)
     ch.observe_cap(proof.trace_cap)
+
+    # lookup challenges are drawn before the aux cap is observed
+    # (get_challenges.rs:66-81)
+    lookup_challenges = None
+    num_lookup_columns = stark.num_lookup_helper_columns(config)
+    if stark.uses_lookups():
+        challenge_set = get_grand_product_challenge_set(ch, nc)
+        lookup_challenges = [c.beta for c in challenge_set.challenges]
+    if proof.auxiliary_polys_cap is not None:
+        ch.observe_cap(proof.auxiliary_polys_cap)
+
     alphas_prime = ch.get_n_challenges(nc)
+    num_aux = (
+        len(proof.openings.auxiliary_polys)
+        if proof.openings.auxiliary_polys is not None
+        else 0
+    )
     alphas = run_binding_step(
-        stark, ch, proof_with_pis.public_inputs, alphas_prime, degree_bits
+        stark,
+        ch,
+        proof_with_pis.public_inputs,
+        alphas_prime,
+        degree_bits,
+        num_aux=num_aux,
+        lookup_challenges=lookup_challenges,
+        num_lookup_columns=num_lookup_columns,
     )
     ch.observe_cap(proof.quotient_polys_cap)
     zeta = ch.get_extension_challenge(2)
@@ -53,6 +77,7 @@ def get_challenges(
         config.fri_config,
     )
     return StarkProofChallenges(
+        lookup_challenges=lookup_challenges,
         stark_alphas_prime=alphas_prime,
         simulating_zetas=[],
         stark_zeta_prime=(0, 0),
@@ -84,6 +109,8 @@ def verify_stark_proof(
         challenges.stark_alphas,
         zeta,
         degree_bits,
+        lookup_challenges=challenges.lookup_challenges,
+        num_lookup_columns=stark.num_lookup_helper_columns(config),
     )
 
     zeta_pow_deg = ge.ext_exp(zeta, 1 << degree_bits)
@@ -101,7 +128,10 @@ def verify_stark_proof(
 
     g = gl.primitive_root_of_unity(degree_bits)
     instance = stark.fri_instance(zeta, g, config)
-    merkle_caps = [proof.trace_cap, proof.quotient_polys_cap]
+    merkle_caps = [proof.trace_cap]
+    if proof.auxiliary_polys_cap is not None:
+        merkle_caps.append(proof.auxiliary_polys_cap)
+    merkle_caps.append(proof.quotient_polys_cap)
     fv.verify_fri_proof(
         instance,
         o.to_fri_openings(),
