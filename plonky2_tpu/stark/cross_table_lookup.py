@@ -272,6 +272,66 @@ def ctl_vars_from_openings(
     return ctl_vars
 
 
+def ctl_zs_entries(
+    table: int,
+    ctls: Sequence[CrossTableLookup],
+    num_challenges: int,
+    constraint_degree: int,
+) -> List[Tuple[int, List[List[Column]], List[Filter], int]]:
+    """Static per-table CTL entry layout: (helper_count, columns, filters,
+    challenge_index) in zs_columns order. Mirrors both
+    cross_table_lookup_data's per-table output ordering and
+    CtlCheckVars::from_proof (each table is assumed to appear as one
+    contiguous looking group per CTL)."""
+    entries = []
+    for ctl in ctls:
+        looking = [t for t in ctl.looking_tables if t.table == table]
+        for ci in range(num_challenges):
+            if looking:
+                k = len(looking)
+                hc = -(-k // (constraint_degree - 1)) if k > 1 else 0
+                entries.append(
+                    (hc, [t.columns for t in looking], [t.filter for t in looking], ci)
+                )
+            if ctl.looked_table.table == table:
+                entries.append(
+                    (0, [ctl.looked_table.columns], [ctl.looked_table.filter], ci)
+                )
+    return entries
+
+
+def build_ctl_check_vars(
+    entries: Sequence[Tuple[int, List[List[Column]], List[Filter], int]],
+    aux_local: List,
+    aux_next: List,
+    num_lookup_columns: int,
+    challenge_elems: List[GrandProductChallenge],
+) -> List[CtlCheckVars]:
+    """Construct CtlCheckVars over any algebra from aux-oracle values laid
+    out as [lookups | ctl helpers | ctl zs]. challenge_elems[i] is the
+    grand-product challenge for challenge index i, as algebra elements."""
+    total_helpers = sum(e[0] for e in entries)
+    out: List[CtlCheckVars] = []
+    start = 0
+    for i, (hc, columns, filters, ci) in enumerate(entries):
+        helpers = aux_local[
+            num_lookup_columns + start : num_lookup_columns + start + hc
+        ]
+        z_idx = num_lookup_columns + total_helpers + i
+        out.append(
+            CtlCheckVars(
+                helper_columns=list(helpers),
+                local_z=aux_local[z_idx],
+                next_z=aux_next[z_idx],
+                challenges=challenge_elems[ci],
+                columns=columns,
+                filter=filters,
+            )
+        )
+        start += hc
+    return out
+
+
 def eval_cross_table_lookup_checks(
     frame, ctl_vars: List[CtlCheckVars], consumer, A, constraint_degree: int
 ) -> None:

@@ -102,3 +102,68 @@ class PermutationStark(Stark):
 
     def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
         pass
+
+
+class CtlLookingStark(Stark):
+    """Two value columns, both looking into a shared table via a CTL; no
+    base constraints. Exercises the CTL helper-column path (two looking
+    column-sets on one table, chunk size 2)."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def num_columns(self) -> int:
+        return 2
+
+    def num_public_inputs(self) -> int:
+        return 0
+
+    def constraint_degree(self) -> int:
+        return 3
+
+    def requires_ctls(self) -> bool:
+        return True
+
+    def generate_trace(self, x0: int) -> np.ndarray:
+        v0 = np.array([gl.gadd(x0, i) for i in range(self.num_rows)], dtype=np.uint64)
+        v1 = np.array(
+            [gl.gadd(x0, self.num_rows + i) for i in range(self.num_rows)],
+            dtype=np.uint64,
+        )
+        return np.stack([v0, v1])
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        pass
+
+
+class CtlLookedStark(Stark):
+    """Columns [value, flag]; flagged rows form the looked table. Base
+    constraint: flag is boolean."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def num_columns(self) -> int:
+        return 2
+
+    def num_public_inputs(self) -> int:
+        return 0
+
+    def constraint_degree(self) -> int:
+        return 3
+
+    def requires_ctls(self) -> bool:
+        return True
+
+    def generate_trace(self, values: List[int]) -> np.ndarray:
+        assert len(values) <= self.num_rows
+        col = np.zeros(self.num_rows, dtype=np.uint64)
+        flag = np.zeros(self.num_rows, dtype=np.uint64)
+        for i, v in enumerate(values):
+            col[i] = v % gl.P
+            flag[i] = 1
+        return np.stack([col, flag])
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        flag = frame.local_values[1]
+        consumer.constraint(A.mul(flag, A.sub(flag, A.one())))

@@ -21,7 +21,9 @@ from ..hash.challenger import Challenger
 from ..ops import gf, ntt
 from ..utils.bits import reverse_index_bits_perm
 from .config import StarkConfig
+from .cross_table_lookup import build_ctl_check_vars
 from .lookup import (
+    GrandProductChallenge,
     LookupCheckVars,
     all_lookup_helper_columns,
     get_grand_product_challenge_set,
@@ -36,14 +38,35 @@ _QUOTIENT_CACHE: Dict = {}
 from ..plonk.prover import _natural_order_values
 
 
-def _quotient_fn(stark: Stark, nc: int, rate_bits: int, uses_lookups: bool):
-    key = (id(stark), nc, rate_bits, uses_lookups)
+def _ctl_entries_with_challenge_idx(ctl_data, ctl_challenges):
+    """Static (helper_count, columns, filters, challenge_index) per
+    zs_column, matching cross_table_lookup.ctl_zs_entries ordering."""
+    entries = []
+    for z in ctl_data.zs_columns:
+        ci = next(
+            i
+            for i, c in enumerate(ctl_challenges.challenges)
+            if c.beta == z.challenge.beta and c.gamma == z.challenge.gamma
+        )
+        entries.append((len(z.helper_columns), z.columns, z.filter, ci))
+    return entries
+
+
+def _quotient_fn(
+    stark: Stark,
+    nc: int,
+    rate_bits: int,
+    uses_lookups: bool,
+    ctl_entries=None,
+    num_lookup_cols_static: int = 0,
+):
+    key = (id(stark), nc, rate_bits, uses_lookups, repr(ctl_entries), num_lookup_cols_static)
     if key in _QUOTIENT_CACHE:
         return _QUOTIENT_CACHE[key]
 
     next_step = 1 << rate_bits
 
-    def fn(trace_nat, aux_nat, lchals, z_last, l_first, l_last, zh_inv, alphas, pis):
+    def fn(trace_nat, aux_nat, lchals, cchals, z_last, l_first, l_last, zh_inv, alphas, pis):
         b = trace_nat[0].shape[1]
         A = DeviceBatchAlgebra(b)
 
@@ -82,17 +105,28 @@ def _quotient_fn(stark: Stark, nc: int, rate_bits: int, uses_lookups: bool):
             (l_last[0], l_last[1]),
         )
         lookup_vars = None
-        if uses_lookups:
+        ctl_vars = None
+        if uses_lookups or ctl_entries:
             aux_local, aux_next = rows(aux_nat)
-            chal_elems = [
-                (
-                    jnp.broadcast_to(lchals[0][i], (b,)),
-                    jnp.broadcast_to(lchals[1][i], (b,)),
+
+            def bcast(arrs, i):
+                return (
+                    jnp.broadcast_to(arrs[0][i], (b,)),
+                    jnp.broadcast_to(arrs[1][i], (b,)),
                 )
-                for i in range(lchals[0].shape[0])
-            ]
-            lookup_vars = LookupCheckVars(aux_local, aux_next, chal_elems)
-        eval_vanishing_generic(stark, frame, consumer, A, lookup_vars)
+
+            if uses_lookups:
+                chal_elems = [bcast(lchals, i) for i in range(lchals[0].shape[0])]
+                lookup_vars = LookupCheckVars(aux_local, aux_next, chal_elems)
+            if ctl_entries:
+                gp_elems = [
+                    GrandProductChallenge(bcast(cchals, 2 * i), bcast(cchals, 2 * i + 1))
+                    for i in range(cchals[0].shape[0] // 2)
+                ]
+                ctl_vars = build_ctl_check_vars(
+                    ctl_entries, aux_local, aux_next, num_lookup_cols_static, gp_elems
+                )
+        eval_vanishing_generic(stark, frame, consumer, A, lookup_vars, ctl_vars)
         accs = consumer.accumulators()
         out_lo, out_hi = [], []
         for acc in accs:
@@ -112,6 +146,34 @@ def prove(
     trace: np.ndarray,  # u64 [num_columns, degree]
     public_inputs: List[int],
 ) -> StarkProofWithPublicInputs:
+    """Single-table proof (prover.rs:39-113): commit the trace, start the
+    transcript, delegate to prove_with_commitment."""
+    trace_commitment = fo.PolynomialBatch.from_values(
+        gf.from_u64(trace), config.fri_config.rate_bits, False,
+        config.fri_config.cap_height,
+    )
+    challenger = Challenger()
+    challenger.observe_elements([p % gl.P for p in public_inputs])
+    config.observe(challenger)
+    challenger.observe_cap(trace_commitment.cap_u64())
+    return prove_with_commitment(
+        stark, config, trace, trace_commitment, None, None, challenger, public_inputs
+    )
+
+
+def prove_with_commitment(
+    stark: Stark,
+    config: StarkConfig,
+    trace: np.ndarray,
+    trace_commitment,
+    ctl_data,  # Optional[CtlData]
+    ctl_challenges,  # Optional[GrandProductChallengeSet]
+    challenger: Challenger,
+    public_inputs: List[int],
+) -> StarkProofWithPublicInputs:
+    """Proof body after the trace cap has been observed; supports lookups
+    and cross-table lookups (prover.rs:124-460). The config must already
+    have been observed by the caller."""
     fri_config = config.fri_config
     rate_bits = fri_config.rate_bits
     cap_height = fri_config.cap_height
@@ -125,26 +187,33 @@ def prove(
     qdb = (stark.quotient_degree_factor() - 1).bit_length()  # log2_ceil
     assert qdb <= rate_bits, "quotient degree exceeds rate"
 
-    # 1. trace commitment
-    trace_commitment = fo.PolynomialBatch.from_values(
-        gf.from_u64(trace), rate_bits, False, cap_height
-    )
-
-    challenger = Challenger()
-    challenger.observe_elements([p % gl.P for p in public_inputs])
-    config.observe(challenger)
-    challenger.observe_cap(trace_commitment.cap_u64())
-
-    # logUp lookups: grand-product challenges, helper columns, aux oracle
-    # (prover.rs:163-240)
+    # logUp lookups: grand-product challenges, helper columns (prover.rs:163-194)
     lookup_challenges = None
-    aux_commitment = None
     num_lookup_columns = 0
+    aux_cols: List[np.ndarray] = []
     if stark.uses_lookups():
-        challenge_set = get_grand_product_challenge_set(challenger, nc)
+        if ctl_challenges is not None:
+            challenge_set = ctl_challenges
+        else:
+            challenge_set = get_grand_product_challenge_set(challenger, nc)
         lookup_challenges = [ch.beta for ch in challenge_set.challenges]
         aux_cols = all_lookup_helper_columns(stark, trace, lookup_challenges)
         num_lookup_columns = len(aux_cols)
+
+    # CTL aux polys batch-committed together with lookup columns
+    # (prover.rs:198-240)
+    ctl_entries = None
+    num_ctl_helpers = 0
+    num_ctl_zs = 0
+    if ctl_data is not None and ctl_data.zs_columns:
+        helpers = ctl_data.ctl_helper_polys()
+        zs = ctl_data.ctl_z_polys()
+        num_ctl_helpers, num_ctl_zs = len(helpers), len(zs)
+        aux_cols = aux_cols + helpers + zs
+        ctl_entries = _ctl_entries_with_challenge_idx(ctl_data, ctl_challenges)
+
+    aux_commitment = None
+    if aux_cols:
         aux_commitment = fo.PolynomialBatch.from_values(
             gf.from_u64(np.stack(aux_cols)), rate_bits, False, cap_height
         )
@@ -157,9 +226,11 @@ def prove(
         public_inputs,
         alphas_prime,
         degree_bits,
-        num_aux=num_lookup_columns,
+        num_aux=len(aux_cols),
         lookup_challenges=lookup_challenges,
         num_lookup_columns=num_lookup_columns,
+        ctl_entries=ctl_entries,
+        ctl_challenges=ctl_challenges,
     )
 
     # 2. quotient over the full-rate coset
@@ -189,7 +260,14 @@ def prove(
     z_last = gl.np_sub(xs, np.uint64(last))
 
     trace_nat = _natural_order_values(trace_commitment)
-    qfn = _quotient_fn(stark, nc, rate_bits, stark.uses_lookups())
+    qfn = _quotient_fn(
+        stark,
+        nc,
+        rate_bits,
+        stark.uses_lookups(),
+        ctl_entries=ctl_entries,
+        num_lookup_cols_static=num_lookup_columns,
+    )
 
     def pair(vals):
         return gf.from_u64(np.array(vals, dtype=np.uint64))
@@ -197,10 +275,15 @@ def prove(
     aux_nat = (
         _natural_order_values(aux_commitment) if aux_commitment is not None else pair([])
     )
+    cchal_flat = []
+    if ctl_challenges is not None and ctl_entries:
+        for c in ctl_challenges.challenges:
+            cchal_flat.extend([c.beta, c.gamma])
     q_lo, q_hi = qfn(
         trace_nat,
         aux_nat,
         pair(lookup_challenges or []),
+        pair(cchal_flat),
         gf.from_u64(z_last),
         gf.from_u64(l_first),
         gf.from_u64(l_last),
@@ -223,6 +306,12 @@ def prove(
     assert ge.ext_exp(zeta, 1 << degree_bits) != ge.ext_one(2), "zeta in subgroup"
     g_base = gl.primitive_root_of_unity(degree_bits)
     zeta_next = ge.ext_scalar_mul(zeta, g_base)
+    ctl_zs_first = None
+    if ctl_entries:
+        aux_at_one = aux_commitment.eval_all_at_ext((1, 0))
+        ctl_zs_first = [
+            v[0] for v in aux_at_one[num_lookup_columns + num_ctl_helpers :]
+        ]
     openings = StarkOpeningSet(
         local_values=trace_commitment.eval_all_at_ext(zeta),
         next_values=trace_commitment.eval_all_at_ext(zeta_next),
@@ -232,14 +321,16 @@ def prove(
         auxiliary_polys_next=(
             aux_commitment.eval_all_at_ext(zeta_next) if aux_commitment else None
         ),
-        ctl_zs_first=None,
+        ctl_zs_first=ctl_zs_first,
         quotient_polys=quotient_commitment.eval_all_at_ext(zeta),
     )
     fri_openings = openings.to_fri_openings()
     for batch in fri_openings.batches:
         challenger.observe_extension_elements(batch.values)
 
-    instance = stark.fri_instance(zeta, g_base, config)
+    instance = stark.fri_instance(
+        zeta, g_base, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs
+    )
     commitments = [trace_commitment]
     if aux_commitment is not None:
         commitments.append(aux_commitment)

@@ -57,9 +57,12 @@ def eval_vanishing_at_point(
     degree_bits: int,
     lookup_challenges: List[int] = None,
     num_lookup_columns: int = 0,
-    ctl_vars=None,
+    ctl_entries=None,
+    ctl_challenges=None,
 ) -> List[Ext]:
-    """Host exact single-point evaluation (verifier + binding step)."""
+    """Host exact single-point evaluation (verifier + binding step).
+    ctl_entries/ctl_challenges: static CTL layout + GrandProductChallengeSet
+    (int β/γ); CtlCheckVars are built from the aux openings."""
     A = HostExtAlgebra()
     l_0, l_last = eval_l_0_and_l_last(degree_bits, zeta)
     g = gl.primitive_root_of_unity(degree_bits)
@@ -79,6 +82,22 @@ def eval_vanishing_at_point(
             local_values=[tuple(v) for v in openings.auxiliary_polys[:num_lookup_columns]],
             next_values=[tuple(v) for v in openings.auxiliary_polys_next[:num_lookup_columns]],
             challenges=[A.const(c) for c in lookup_challenges],
+        )
+    ctl_vars = None
+    if ctl_entries:
+        from .cross_table_lookup import build_ctl_check_vars
+        from .lookup import GrandProductChallenge
+
+        chal_elems = [
+            GrandProductChallenge(A.const(c.beta), A.const(c.gamma))
+            for c in ctl_challenges.challenges
+        ]
+        ctl_vars = build_ctl_check_vars(
+            ctl_entries,
+            [tuple(v) for v in openings.auxiliary_polys],
+            [tuple(v) for v in openings.auxiliary_polys_next],
+            num_lookup_columns,
+            chal_elems,
         )
     eval_vanishing_generic(stark, frame, consumer, A, lookup_vars, ctl_vars)
     return consumer.accumulators()
@@ -126,6 +145,8 @@ def run_binding_step(
     num_aux: int = 0,
     lookup_challenges: List[int] = None,
     num_lookup_columns: int = 0,
+    ctl_entries=None,
+    ctl_challenges=None,
 ) -> List[int]:
     """Binding: evaluate constraints on simulated values at a random point,
     observe, then draw the real alphas. Returns stark_alphas."""
@@ -140,6 +161,8 @@ def run_binding_step(
         degree_bits,
         lookup_challenges=lookup_challenges,
         num_lookup_columns=num_lookup_columns,
+        ctl_entries=ctl_entries,
+        ctl_challenges=ctl_challenges,
     )
     challenger.observe_extension_elements(constraints)
     return challenger.get_n_challenges(len(alphas_prime))

@@ -3,7 +3,7 @@ get_challenges.rs)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from ..field import extension as ge
 from ..field import goldilocks as gl
@@ -30,21 +30,34 @@ def get_challenges(
     config: StarkConfig,
     proof_with_pis: StarkProofWithPublicInputs,
     degree_bits: int,
+    challenger: Optional[Challenger] = None,
+    ctl_challenges=None,
+    ctl_entries=None,
 ) -> StarkProofChallenges:
+    """Recompute the transcript (get_challenges.rs:36-199). When
+    `challenger` is given, the caller has already observed the head
+    (config, public inputs, trace cap) — the multi-STARK case."""
     proof = proof_with_pis.proof
     nc = config.num_challenges
-    ch = Challenger()
-    ch.observe_elements([p % gl.P for p in proof_with_pis.public_inputs])
-    config.observe(ch)
-    ch.observe_cap(proof.trace_cap)
+    if challenger is None:
+        ch = Challenger()
+        ch.observe_elements([p % gl.P for p in proof_with_pis.public_inputs])
+        config.observe(ch)
+        ch.observe_cap(proof.trace_cap)
+    else:
+        ch = challenger
 
     # lookup challenges are drawn before the aux cap is observed
     # (get_challenges.rs:66-81)
+    lookup_challenge_set = None
+    if ctl_challenges is not None:
+        lookup_challenge_set = ctl_challenges
+    elif proof.auxiliary_polys_cap is not None:
+        lookup_challenge_set = get_grand_product_challenge_set(ch, nc)
     lookup_challenges = None
     num_lookup_columns = stark.num_lookup_helper_columns(config)
     if stark.uses_lookups():
-        challenge_set = get_grand_product_challenge_set(ch, nc)
-        lookup_challenges = [c.beta for c in challenge_set.challenges]
+        lookup_challenges = [c.beta for c in lookup_challenge_set.challenges]
     if proof.auxiliary_polys_cap is not None:
         ch.observe_cap(proof.auxiliary_polys_cap)
 
@@ -63,6 +76,8 @@ def get_challenges(
         num_aux=num_aux,
         lookup_challenges=lookup_challenges,
         num_lookup_columns=num_lookup_columns,
+        ctl_entries=ctl_entries,
+        ctl_challenges=ctl_challenges,
     )
     ch.observe_cap(proof.quotient_polys_cap)
     zeta = ch.get_extension_challenge(2)
@@ -87,19 +102,20 @@ def get_challenges(
     )
 
 
-def verify_stark_proof(
+def verify_stark_proof_with_challenges(
     stark: Stark,
     proof_with_pis: StarkProofWithPublicInputs,
+    challenges: StarkProofChallenges,
     config: StarkConfig,
     degree_bits: int,
+    ctl_challenges=None,
+    ctl_entries=None,
+    num_ctl_helpers: int = 0,
+    num_ctl_zs: int = 0,
 ) -> None:
+    """Check the quotient identity at zeta and the FRI opening proof
+    (verifier.rs:68-280)."""
     proof = proof_with_pis.proof
-    _ensure(
-        len(proof_with_pis.public_inputs) == stark.num_public_inputs(),
-        "wrong number of public inputs",
-    )
-    challenges = get_challenges(stark, config, proof_with_pis, degree_bits)
-
     o = proof.openings
     zeta = challenges.stark_zeta
     vanishing = eval_vanishing_at_point(
@@ -111,6 +127,8 @@ def verify_stark_proof(
         degree_bits,
         lookup_challenges=challenges.lookup_challenges,
         num_lookup_columns=stark.num_lookup_helper_columns(config),
+        ctl_entries=ctl_entries,
+        ctl_challenges=ctl_challenges,
     )
 
     zeta_pow_deg = ge.ext_exp(zeta, 1 << degree_bits)
@@ -127,7 +145,9 @@ def verify_stark_proof(
         )
 
     g = gl.primitive_root_of_unity(degree_bits)
-    instance = stark.fri_instance(zeta, g, config)
+    instance = stark.fri_instance(
+        zeta, g, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs
+    )
     merkle_caps = [proof.trace_cap]
     if proof.auxiliary_polys_cap is not None:
         merkle_caps.append(proof.auxiliary_polys_cap)
@@ -139,4 +159,20 @@ def verify_stark_proof(
         merkle_caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
+    )
+
+
+def verify_stark_proof(
+    stark: Stark,
+    proof_with_pis: StarkProofWithPublicInputs,
+    config: StarkConfig,
+    degree_bits: int,
+) -> None:
+    _ensure(
+        len(proof_with_pis.public_inputs) == stark.num_public_inputs(),
+        "wrong number of public inputs",
+    )
+    challenges = get_challenges(stark, config, proof_with_pis, degree_bits)
+    verify_stark_proof_with_challenges(
+        stark, proof_with_pis, challenges, config, degree_bits
     )
