@@ -18,6 +18,11 @@ from plonky2_tpu.gates.extension import (
 from plonky2_tpu.gates.interpolation import CosetInterpolationGate, PoseidonMdsGate
 from plonky2_tpu.gates.misc import BaseSumGate, ExponentiationGate, RandomAccessGate
 from plonky2_tpu.gates.poseidon import PoseidonGate
+from plonky2_tpu.gates.poseidon2 import (
+    Poseidon2Gate,
+    Poseidon2IntMixGate,
+    Poseidon2MdsGate,
+)
 
 GATES = [
     ArithmeticGate(num_ops=20),
@@ -35,6 +40,9 @@ GATES = [
     CosetInterpolationGate(subgroup_bits=4, max_degree=8),
     CosetInterpolationGate(subgroup_bits=2, max_degree=8),
     PoseidonMdsGate(),
+    Poseidon2Gate(),
+    Poseidon2MdsGate(),
+    Poseidon2IntMixGate(),
 ]
 
 
