@@ -51,7 +51,9 @@ class FriReductionStrategy:
                 result.append(self.arity_bits)
                 db -= self.arity_bits
             return result
-        raise NotImplementedError("MinSize arity search not yet implemented")
+        return _min_size_arity_bits(
+            degree_bits, rate_bits, num_queries, self.max_arity_bits
+        )
 
     def serialize(self) -> List[int]:
         """Field-element serialization for transcript binding (fri.rs:338-355)."""
@@ -60,6 +62,49 @@ class FriReductionStrategy:
         if self.kind == "constant_arity":
             return [1, self.arity_bits, self.final_poly_bits]
         return [2, self.max_arity_bits or 0]
+
+
+def _relative_proof_size(
+    degree_bits: int, rate_bits: int, num_queries: int, arity_bits: List[int]
+) -> int:
+    """Approximate FRI proof size in field elements (fri.rs:160-192)."""
+    D = 4
+    current_layer_bits = degree_bits + rate_bits
+    total = 0
+    for ab in arity_bits:
+        total += ((1 << ab) - 1) * D * num_queries
+        total += current_layer_bits * 4 * num_queries
+        current_layer_bits -= ab
+    assert current_layer_bits >= rate_bits
+    total += D * (1 << (current_layer_bits - rate_bits))
+    return total
+
+
+def _min_size_arity_bits(
+    degree_bits: int,
+    rate_bits: int,
+    num_queries: int,
+    opt_max_arity_bits: Optional[int],
+) -> List[int]:
+    """Exhaustive search over monotonically non-increasing arity sequences
+    minimizing estimated proof size (fri.rs:92-156)."""
+    global_max = opt_max_arity_bits if opt_max_arity_bits is not None else 4
+
+    def helper(prefix: List[int]):
+        current_layer_bits = degree_bits + rate_bits - sum(prefix)
+        assert current_layer_bits >= rate_bits
+        best = list(prefix)
+        best_size = _relative_proof_size(degree_bits, rate_bits, num_queries, prefix)
+        max_ab = min(
+            prefix[-1] if prefix else global_max, current_layer_bits - rate_bits
+        )
+        for next_ab in range(1, max_ab + 1):
+            arity_bits, size = helper(prefix + [next_ab])
+            if size < best_size:
+                best, best_size = arity_bits, size
+        return best, best_size
+
+    return helper([])[0]
 
 
 @dataclass(frozen=True)

@@ -48,18 +48,28 @@ class PolynomialBatch:
 
     @staticmethod
     def from_values(
-        values: gf.Gf, rate_bits: int, blinding: bool, cap_height: int
+        values: gf.Gf, rate_bits: int, blinding: bool, cap_height: int, hasher=None
     ) -> "PolynomialBatch":
         coeffs = ntt.ifft_jit(values)
-        return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding, cap_height)
+        return PolynomialBatch.from_coeffs(
+            coeffs, rate_bits, blinding, cap_height, hasher=hasher
+        )
 
     @staticmethod
     def from_coeffs(
-        coeffs: gf.Gf, rate_bits: int, blinding: bool, cap_height: int
+        coeffs: gf.Gf, rate_bits: int, blinding: bool, cap_height: int, hasher=None
     ) -> "PolynomialBatch":
-        assert not blinding, "zk blinding lands in a later round"
         degree = coeffs[0].shape[-1]
-        tree = fk.commit(coeffs, rate_bits, cap_height)
+        salt = None
+        if blinding:
+            # SALT_SIZE random leaf columns hide the committed rows
+            # (oracle.rs:243-264); salts never join the algebraic openings.
+            rng = np.random.default_rng()
+            salt_u64 = rng.integers(
+                0, gl.P, size=(degree << rate_bits, SALT_SIZE), dtype=np.uint64
+            )
+            salt = gf.from_u64(salt_u64)
+        tree = fk.commit(coeffs, rate_bits, cap_height, salt=salt, hasher=hasher)
         return PolynomialBatch(
             polynomials=coeffs,
             merkle_tree=tree,
@@ -67,6 +77,10 @@ class PolynomialBatch:
             rate_bits=rate_bits,
             blinding=blinding,
         )
+
+    @property
+    def salt_size(self) -> int:
+        return SALT_SIZE if self.blinding else 0
 
     def get_lde_values(self, index: int, step: int = 1) -> List[int]:
         """LDE row at point index*step (leaf order is bit-reversed,
@@ -193,6 +207,7 @@ def prove_openings(
     fri_params: FriParams,
     final_poly_coeff_len: Optional[int] = None,
     max_num_query_steps: Optional[int] = None,
+    hasher=None,
 ) -> FriProof:
     """Batch opening proof (oracle.rs:320-358 prove_openings)."""
     from .prover import fri_proof  # local import to avoid cycle
@@ -216,4 +231,5 @@ def prove_openings(
         fri_params,
         final_poly_coeff_len,
         max_num_query_steps,
+        hasher=hasher,
     )

@@ -34,6 +34,7 @@ def fri_proof(
     fri_params: FriParams,
     final_poly_coeff_len: Optional[int] = None,
     max_num_query_steps: Optional[int] = None,
+    hasher=None,
 ) -> FriProof:
     n = lde_polynomial_values[0].shape[0]
     assert lde_polynomial_coeffs[0].shape[0] == n
@@ -45,6 +46,7 @@ def fri_proof(
         challenger,
         fri_params,
         max_num_query_steps,
+        hasher=hasher,
     )
 
     # Observe final polynomial (+ zero padding for unified recursion)
@@ -55,7 +57,7 @@ def fri_proof(
             challenger.observe_extension_element((0, 0))
 
     # PoW phase
-    pow_witness = _fri_proof_of_work(challenger, fri_params.config)
+    pow_witness = _fri_proof_of_work(challenger, fri_params.config, hasher=hasher)
 
     # Query phase
     query_indices = [
@@ -90,13 +92,16 @@ def _fri_committed_trees(
     challenger: Challenger,
     fri_params: FriParams,
     max_num_query_steps: Optional[int],
+    hasher=None,
 ):
     trees: List[merkle.DeviceMerkleTree] = []
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     arities = fri_params.reduction_arity_bits
     for step, arity_bits in enumerate(arities):
         arity = 1 << arity_bits
-        tree = fk.commit_phase_tree(values, arity_bits, fri_params.config.cap_height)
+        tree = fk.commit_phase_tree(
+            values, arity_bits, fri_params.config.cap_height, hasher=hasher
+        )
         challenger.observe_cap(tree.cap_u64())
         trees.append(tree)
 
@@ -129,15 +134,21 @@ def _fri_committed_trees(
     return trees, final_poly
 
 
-def _fri_proof_of_work(challenger: Challenger, config: FriConfig) -> int:
+def _fri_proof_of_work(challenger: Challenger, config: FriConfig, hasher=None) -> int:
     """Deterministic grind: the smallest witness w with >= pow_bits leading
     zeros in the duplex response (prover.rs:159-208; find_any replaced by a
-    batched device scan that returns the first hit)."""
+    batched device scan that returns the first hit). Non-Poseidon
+    challenger permutations grind on host."""
     state = list(challenger.sponge_state)
     witness_pos = len(challenger.input_buffer)
     for i, x in enumerate(challenger.input_buffer):
         state[i] = x
-    witness = fk.pow_grind(state, witness_pos, config.proof_of_work_bits)
+    if hasher is not None and hasher.name != "poseidon":
+        witness = _host_pow_grind(
+            state, witness_pos, config.proof_of_work_bits, hasher.permutation
+        )
+    else:
+        witness = fk.pow_grind(state, witness_pos, config.proof_of_work_bits)
     # Confirm via the real transcript (also advances it)
     challenger.observe_element(witness)
     response = challenger.get_challenge()
@@ -147,6 +158,17 @@ def _fri_proof_of_work(challenger: Challenger, config: FriConfig) -> int:
 
 def _leading_zeros64(x: int) -> int:
     return 64 - x.bit_length() if x else 64
+
+
+def _host_pow_grind(state, witness_pos: int, pow_bits: int, permutation) -> int:
+    w = 0
+    while True:
+        trial = list(state)
+        trial[witness_pos] = w
+        out = permutation(trial)
+        if _leading_zeros64(out[SPONGE_RATE - 1]) >= pow_bits:
+            return w
+        w += 1
 
 
 def _query_rounds(

@@ -39,15 +39,20 @@ def _ensure(cond: bool, msg: str) -> None:
 
 
 def verify_merkle_proof_to_cap(
-    leaf_data: List[int], leaf_index: int, cap: np.ndarray, proof: MerkleProof
+    leaf_data: List[int],
+    leaf_index: int,
+    cap: np.ndarray,
+    proof: MerkleProof,
+    hasher=None,
 ) -> None:
-    digest = hp.hash_leaf(leaf_data)
+    h = hasher if hasher is not None else hp
+    digest = h.hash_leaf(leaf_data)
     idx = leaf_index
     for sib in proof.siblings:
         if idx & 1:
-            digest = hp.two_to_one(sib, digest)
+            digest = h.two_to_one(sib, digest)
         else:
-            digest = hp.two_to_one(digest, sib)
+            digest = h.two_to_one(digest, sib)
         idx >>= 1
     _ensure(
         tuple(int(x) for x in cap[idx]) == digest,
@@ -156,6 +161,7 @@ def verify_fri_proof(
     initial_merkle_caps: Sequence[np.ndarray],
     proof: FriProof,
     params: FriParams,
+    hasher=None,
 ) -> None:
     n = params.lde_size
     fri_verify_proof_of_work(challenges.fri_pow_response, params.config)
@@ -177,6 +183,7 @@ def verify_fri_proof(
             n,
             round_proof,
             params,
+            hasher=hasher,
         )
 
 
@@ -190,12 +197,13 @@ def _verify_query_round(
     n: int,
     round_proof: FriQueryRound,
     params: FriParams,
+    hasher=None,
 ) -> None:
     # initial Merkle proofs
     for (evals, mproof), cap in zip(
         round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps
     ):
-        verify_merkle_proof_to_cap(evals, x_index, cap, mproof)
+        verify_merkle_proof_to_cap(evals, x_index, cap, mproof, hasher=hasher)
 
     log_n = log2_strict(n)
     subgroup_x = gl.gmul(
@@ -226,7 +234,7 @@ def _verify_query_round(
         flat = [c for e in evals for c in e]
         verify_merkle_proof_to_cap(
             flat, coset_index, proof.commit_phase_merkle_caps[i],
-            round_proof.steps[i].merkle_proof,
+            round_proof.steps[i].merkle_proof, hasher=hasher,
         )
         subgroup_x = gl.exp_power_of_2(subgroup_x, arity_bits)
         x_index = coset_index

@@ -21,7 +21,11 @@ from .poseidon import SPONGE_RATE, SPONGE_WIDTH, permute
 
 
 class Challenger:
-    def __init__(self):
+    def __init__(self, permutation=None):
+        """permutation: width-12 challenger permutation; defaults to
+        Poseidon. Keccak configs pass the pseudo-permutation
+        (core/src/keccak.rs:12-60)."""
+        self.permutation = permutation or permute
         self.sponge_state: List[int] = [0] * SPONGE_WIDTH
         self.input_buffer: List[int] = []
         self.output_buffer: List[int] = []
@@ -79,7 +83,7 @@ class Challenger:
         for i, x in enumerate(self.input_buffer):
             self.sponge_state[i] = x
         self.input_buffer.clear()
-        self.sponge_state = permute(self.sponge_state)
+        self.sponge_state = self.permutation(self.sponge_state)
         self.output_buffer = list(self.sponge_state[:SPONGE_RATE])
 
     def compact(self) -> List[int]:

@@ -38,9 +38,18 @@ def lde_leaves(coeffs: gf.Gf, rate_bits: int) -> gf.Gf:
     return jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
 
 
-def commit(coeffs: gf.Gf, rate_bits: int, cap_height: int) -> merkle.DeviceMerkleTree:
+def commit(
+    coeffs: gf.Gf, rate_bits: int, cap_height: int, salt: gf.Gf = None, hasher=None
+):
+    """salt: optional [lde_n, SALT_SIZE] random columns appended to every
+    leaf for zk hiding (oracle.rs:243-264 lde_blinded_values)."""
     leaves = lde_leaves(coeffs, rate_bits)
-    return merkle.build_merkle_tree(leaves, cap_height)
+    if salt is not None:
+        leaves = (
+            jnp.concatenate([leaves[0], salt[0]], axis=1),
+            jnp.concatenate([leaves[1], salt[1]], axis=1),
+        )
+    return merkle.build_merkle_tree(leaves, cap_height, hasher=hasher)
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +160,23 @@ def _commit_phase_leaves_and_levels(values, arity_bits: int, cap_height: int):
     return leaves, merkle._tree_levels(leaves, num_levels)
 
 
-def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int):
+@partial(jax.jit, static_argnums=(1,))
+def _commit_phase_leaves(values, arity_bits: int):
+    n = values[0].shape[0]
+    arity = 1 << arity_bits
+    idx = reverse_index_bits_perm(n)
+    rlo = jnp.take(values[0], idx, axis=0)
+    rhi = jnp.take(values[1], idx, axis=0)
+    return rlo.reshape(n // arity, arity * 2), rhi.reshape(n // arity, arity * 2)
+
+
+def commit_phase_tree(values: gf.Gf, arity_bits: int, cap_height: int, hasher=None):
     """Bit-reverse extension values [n, 2], chunk into arity-cosets and
     commit: leaves [n/arity, arity*2] — one fused dispatch
     (fri/prover.rs:95-105)."""
+    if hasher is not None and not (hasher.name == "poseidon" and hasher.device_merkle):
+        leaves = _commit_phase_leaves(values, arity_bits)
+        return merkle.HostMerkleTree.build(leaves, cap_height, hasher)
     leaves, levels = _commit_phase_leaves_and_levels(values, arity_bits, cap_height)
     return merkle.DeviceMerkleTree(leaves=leaves, levels=list(levels), cap_height=cap_height)
 

@@ -47,15 +47,18 @@ def _tree_levels_jit(leaves: gf.Gf, num_levels: int):
     return _tree_levels(leaves, num_levels)
 
 
-def build_merkle_tree(leaves: gf.Gf, cap_height: int) -> "DeviceMerkleTree":
-    """Hash a [n, w] leaf batch into a device-resident tree — the whole
-    level pyramid is ONE dispatch (dispatch latency dominates over a
-    remote TPU link)."""
+def build_merkle_tree(leaves: gf.Gf, cap_height: int, hasher=None):
+    """Hash a [n, w] leaf batch into a tree. Default (Poseidon) is the
+    device-resident path — the whole level pyramid is ONE dispatch
+    (dispatch latency dominates over a remote TPU link). Non-default
+    hashers (Keccak, Poseidon2) build on host."""
     n = leaves[0].shape[0]
     height = log2_strict(n)
     assert cap_height <= height
-    levels = list(_tree_levels_jit(leaves, height - cap_height))
-    return DeviceMerkleTree(leaves=leaves, levels=levels, cap_height=cap_height)
+    if hasher is None or (hasher.name == "poseidon" and hasher.device_merkle):
+        levels = list(_tree_levels_jit(leaves, height - cap_height))
+        return DeviceMerkleTree(leaves=leaves, levels=levels, cap_height=cap_height)
+    return HostMerkleTree.build(leaves, cap_height, hasher)
 
 
 @jax.jit
@@ -132,6 +135,74 @@ class DeviceMerkleTree:
         return np.asarray(gf.to_u64((lo, hi)))
 
 
+@dataclass
+class HostMerkleTree:
+    """Same interface as DeviceMerkleTree, built on host with an arbitrary
+    HasherSpec (Keccak / Poseidon2 oracles). Digests are 4-felts rows."""
+
+    leaves: gf.Gf
+    levels: List[np.ndarray]  # each [m, 4] u64
+    cap_height: int
+    _leaves_u64: np.ndarray = None
+
+    @staticmethod
+    def build(leaves: gf.Gf, cap_height: int, hasher) -> "HostMerkleTree":
+        rows = np.asarray(gf.to_u64(leaves))  # [n, w]
+        n = rows.shape[0]
+        height = log2_strict(n)
+        digests = np.array(
+            [hasher.hash_leaf([int(v) for v in row]) for row in rows],
+            dtype=np.uint64,
+        ).reshape(n, 4)
+        levels = [digests]
+        for _ in range(height - cap_height):
+            cur = levels[-1]
+            nxt = np.array(
+                [
+                    hasher.two_to_one(
+                        tuple(int(x) for x in cur[2 * i]),
+                        tuple(int(x) for x in cur[2 * i + 1]),
+                    )
+                    for i in range(cur.shape[0] // 2)
+                ],
+                dtype=np.uint64,
+            ).reshape(-1, 4)
+            levels.append(nxt)
+        return HostMerkleTree(
+            leaves=leaves, levels=levels, cap_height=cap_height, _leaves_u64=rows
+        )
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0].shape[0]
+
+    def cap_u64(self) -> np.ndarray:
+        return self.levels[-1]
+
+    def leaf_u64(self, index: int) -> np.ndarray:
+        return self._leaves_u64[index]
+
+    def leaf_u64_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
+        return self._leaves_u64[np.asarray(leaf_indices, dtype=np.int64)]
+
+    def prove(self, leaf_index: int) -> List[Tuple[int, int, int, int]]:
+        sibs = self.prove_batch(np.array([leaf_index]))[0]
+        return [tuple(int(x) for x in row) for row in sibs]
+
+    def prove_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
+        if len(self.levels) == 1:
+            return np.zeros((len(leaf_indices), 0, 4), dtype=np.uint64)
+        out = []
+        for idx in np.asarray(leaf_indices, dtype=np.int64):
+            path = []
+            cur = int(idx)
+            for level in self.levels[:-1]:
+                path.append(level[cur ^ 1])
+                cur >>= 1
+            out.append(path)
+        return np.array(out, dtype=np.uint64)
+
+
 # ---------------------------------------------------------------------------
 # Host-side verification (reference: core/src/merkle_proofs.rs)
 # ---------------------------------------------------------------------------
@@ -142,15 +213,18 @@ def verify_merkle_proof(
     leaf_index: int,
     cap: np.ndarray,
     siblings: Sequence[Tuple[int, int, int, int]],
+    hasher=None,
 ) -> bool:
-    from ..hash import poseidon as hp
+    if hasher is None:
+        from ..hash import poseidon as hp
 
-    digest = hp.hash_leaf(list(leaf_data))
+        hasher = hp
+    digest = hasher.hash_leaf(list(leaf_data))
     idx = leaf_index
     for sib in siblings:
         if idx & 1:
-            digest = hp.two_to_one(sib, digest)
+            digest = hasher.two_to_one(sib, digest)
         else:
-            digest = hp.two_to_one(digest, sib)
+            digest = hasher.two_to_one(digest, sib)
         idx >>= 1
     return tuple(int(x) for x in cap[idx]) == digest

@@ -18,7 +18,7 @@ from ..hash import poseidon as hp
 from ..iop.generator import ConstantGenerator, CopyGenerator, SimpleGenerator
 from ..iop.target import Target
 from ..ops import gf
-from ..utils.bits import log2_strict
+from ..utils.bits import log2_ceil, log2_strict
 from .circuit_data import (
     CircuitData,
     CommonCircuitData,
@@ -380,9 +380,63 @@ class CircuitBuilder(GadgetMixin):
         ) == 0:
             self.add_gate(NoopGate(), [])
 
-    def build(self, commit: bool = True) -> CircuitData:
+    # -- zero-knowledge blinding (circuit_builder.rs:887-987) ----------------
+
+    def _num_blinding_gates(self, degree_estimate: int) -> Tuple[int, int]:
+        """Openings revealed per regular poly / per Z poly at this degree."""
+        D = 2
+        degree_bits_estimate = log2_strict(degree_estimate)
+        fri_queries = self.config.fri_config.num_query_rounds
+        params = self.config.fri_config.fri_params(degree_bits_estimate, True)
+        arities = [1 << x for x in params.reduction_arity_bits]
+        total_folding = sum(a - 1 for a in arities)
+        prod = 1
+        for a in arities:
+            prod *= a
+        final_poly_coeffs = degree_estimate // prod
+        fri_openings = fri_queries * (1 + D * total_folding + D * final_poly_coeffs)
+        return D + fri_openings, 2 * D + fri_openings
+
+    def _blinding_counts(self) -> Tuple[int, int]:
+        num_gates = len(self.gate_instances)
+        degree_estimate = 1 << log2_ceil(max(num_gates, 1))
+        while True:
+            regular, zs = self._num_blinding_gates(degree_estimate)
+            if num_gates + regular + 2 * zs <= degree_estimate:
+                return regular, zs
+            degree_estimate *= 2
+
+    def blind(self) -> None:
+        """Add random-wire rows so openings don't leak witness data
+        (circuit_builder.rs:940-987): one NoopGate per regular opening with
+        fully random wires; two linked NoopGates per Z opening."""
+        from ..iop.generator import RandomValueGenerator
+
+        regular, zs = self._blinding_counts()
+        nw = self.config.num_wires
+        nr = self.config.num_routed_wires
+        for _ in range(regular):
+            row = self.add_gate(NoopGate(), [])
+            for w in range(nw):
+                self.add_simple_generator(
+                    RandomValueGenerator(Target.wire(row, w))
+                )
+        for _ in range(zs):
+            g1 = self.add_gate(NoopGate(), [])
+            g2 = self.add_gate(NoopGate(), [])
+            for w in range(nr):
+                self.add_simple_generator(
+                    RandomValueGenerator(Target.wire(g1, w))
+                )
+                self.generate_copy(Target.wire(g1, w), Target.wire(g2, w))
+
+    def build(self, commit: bool = True, gc=None) -> CircuitData:
         """commit=False skips the constants/sigmas commitment and digest
-        (witness-generation-only flows, tests)."""
+        (witness-generation-only flows, tests). gc: GenericConfig hasher
+        bundle (the reference's `C` type parameter); default Poseidon."""
+        from .generic_config import poseidon_goldilocks_config
+
+        gc = gc or poseidon_goldilocks_config()
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
@@ -411,7 +465,10 @@ class CircuitBuilder(GadgetMixin):
             cg.constant = c
             self.add_simple_generator(cg)
 
-        # 4. pad and derive sizes
+        # 4. blind (zk), pad, derive sizes (finalize_degree,
+        # circuit_builder.rs:989-997)
+        if config.zero_knowledge:
+            self.blind()
         self.pad_to_power_of_two()
         degree = len(self.gate_instances)
         degree_bits = log2_strict(degree)
@@ -481,7 +538,8 @@ class CircuitBuilder(GadgetMixin):
         )
         constants_sigmas_commitment = (
             PolynomialBatch.from_values(
-                gf.from_u64(all_const_sigma), rate_bits, False, cap_height
+                gf.from_u64(all_const_sigma), rate_bits, False, cap_height,
+                hasher=gc.hasher,
             )
             if commit
             else None
@@ -518,13 +576,13 @@ class CircuitBuilder(GadgetMixin):
             if commit
             else np.zeros((1 << cap_height, 4), dtype=np.uint64)
         )
-        domain_separator_digest = hp.hash_pad(self.domain_separator)
+        domain_separator_digest = gc.hasher.hash_pad(self.domain_separator)
         digest_inputs = (
             [int(x) for row in cs_cap for x in row]
             + list(domain_separator_digest)
             + [degree_bits]
         )
-        circuit_digest = hp.hash_no_pad(digest_inputs)
+        circuit_digest = gc.hasher.hash_no_pad(digest_inputs)
 
         common = CommonCircuitData(
             config=config,

@@ -36,6 +36,10 @@ class CircuitConfig:
         return CircuitConfig(num_wires=136)
 
     @staticmethod
+    def standard_recursion_zk_config() -> "CircuitConfig":
+        return CircuitConfig(zero_knowledge=True)
+
+    @staticmethod
     def wide_ecc_config() -> "CircuitConfig":
         return CircuitConfig(num_wires=234, num_routed_wires=80)
 

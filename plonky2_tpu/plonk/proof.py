@@ -53,7 +53,9 @@ class ProofWithPublicInputs:
     proof: Proof
     public_inputs: List[int]
 
-    def get_public_inputs_hash(self) -> Tuple[int, int, int, int]:
+    def get_public_inputs_hash(self, gc=None) -> Tuple[int, int, int, int]:
+        if gc is not None:
+            return gc.inner_hasher.hash_no_pad(self.public_inputs)
         from ..hash import poseidon as hp
 
         return hp.hash_no_pad(self.public_inputs)

@@ -22,7 +22,14 @@ from ..iop.generator import generate_partial_witness
 from ..iop.witness import PartialWitness
 from ..ops import gf, ntt
 from ..utils.bits import reverse_index_bits_perm
-from .circuit_data import CommonCircuitData, ProverOnlyCircuitData
+from .circuit_data import (
+    ORACLE_BLINDING,
+    ORACLE_QUOTIENT,
+    ORACLE_WIRES,
+    ORACLE_ZS_PARTIAL_PRODUCTS,
+    CommonCircuitData,
+    ProverOnlyCircuitData,
+)
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 from .vanishing import NUM_COINS_LOOKUP, get_lut_poly_eval, quotient_values_fn
 
@@ -33,7 +40,14 @@ def prove(
     prover_data: ProverOnlyCircuitData,
     common: CommonCircuitData,
     inputs: PartialWitness,
+    gc=None,
 ) -> ProofWithPublicInputs:
+    """gc: GenericConfig hasher bundle (the reference's `C` type
+    parameter); defaults to PoseidonGoldilocksConfig."""
+    from .generic_config import poseidon_goldilocks_config
+
+    gc = gc or poseidon_goldilocks_config()
+    hasher = gc.hasher
     config = common.config
     nc = config.num_challenges
     fri_config = config.fri_config
@@ -42,18 +56,22 @@ def prove(
     partition_witness = generate_partial_witness(inputs, prover_data, common)
     set_lookup_wires(prover_data, common, partition_witness)
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
-    public_inputs_hash = hp.hash_no_pad(public_inputs)
+    public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
     witness = partition_witness.full_witness()
     has_lookup = common.num_lookup_polys != 0
 
     # 2. oracle 1 — wires
     wires_dev = gf.from_u64(witness.wire_values)  # [num_wires, n]
     wires_commitment = fo.PolynomialBatch.from_values(
-        wires_dev, fri_config.rate_bits, False, fri_config.cap_height
+        wires_dev,
+        fri_config.rate_bits,
+        common.config.zero_knowledge and ORACLE_BLINDING[ORACLE_WIRES],
+        fri_config.cap_height,
+        hasher=hasher,
     )
 
     # 3. Fiat-Shamir head (Appendix A order)
-    challenger = Challenger()
+    challenger = Challenger(permutation=hasher.permutation)
     common.fri_params.observe(challenger)
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
@@ -72,7 +90,11 @@ def prove(
         lookup_np = compute_all_lookup_polys(witness, deltas, prover_data, common)
         zs_pp_np = np.concatenate([zs_pp_np, lookup_np], axis=0)
     zs_pp_commitment = fo.PolynomialBatch.from_values(
-        gf.from_u64(zs_pp_np), fri_config.rate_bits, False, fri_config.cap_height
+        gf.from_u64(zs_pp_np),
+        fri_config.rate_bits,
+        common.config.zero_knowledge and ORACLE_BLINDING[ORACLE_ZS_PARTIAL_PRODUCTS],
+        fri_config.cap_height,
+        hasher=hasher,
     )
     challenger.observe_cap(zs_pp_commitment.cap_u64())
     alphas = challenger.get_n_challenges(nc)
@@ -90,7 +112,11 @@ def prove(
         deltas,
     )
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
-        quotient_chunks, fri_config.rate_bits, False, fri_config.cap_height
+        quotient_chunks,
+        fri_config.rate_bits,
+        common.config.zero_knowledge and ORACLE_BLINDING[ORACLE_QUOTIENT],
+        fri_config.cap_height,
+        hasher=hasher,
     )
     challenger.observe_cap(quotient_commitment.cap_u64())
 
@@ -129,7 +155,7 @@ def prove(
     # 7. FRI opening proof
     instance = common.get_fri_instance(zeta)
     opening_proof = fo.prove_openings(
-        instance, oracles, challenger, common.fri_params
+        instance, oracles, challenger, common.fri_params, hasher=hasher
     )
 
     proof = Proof(
@@ -212,8 +238,11 @@ def _natural_order_jit(leaves):
 
 def _natural_order_values(batch: fo.PolynomialBatch) -> gf.Gf:
     """Leaves are bit-reversed point-major [lde_n, M]; return poly-major
-    natural order [M, lde_n]."""
-    return _natural_order_jit(batch.merkle_tree.leaves)
+    natural order [M, lde_n], stripping any zk salt columns."""
+    nat = _natural_order_jit(batch.merkle_tree.leaves)
+    if batch.salt_size:
+        nat = (nat[0][: -batch.salt_size], nat[1][: -batch.salt_size])
+    return nat
 
 
 def _compute_quotient_polys(

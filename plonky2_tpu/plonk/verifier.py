@@ -31,10 +31,14 @@ def get_challenges(
     public_inputs_hash,
     circuit_digest,
     common: CommonCircuitData,
+    gc=None,
 ) -> ProofChallenges:
+    from .generic_config import poseidon_goldilocks_config
+
+    gc = gc or poseidon_goldilocks_config()
     proof = proof_with_pis.proof
     nc = common.config.num_challenges
-    ch = Challenger()
+    ch = Challenger(permutation=gc.hasher.permutation)
     common.fri_params.observe(ch)
     ch.observe_hash(circuit_digest)
     ch.observe_hash(public_inputs_hash)
@@ -70,18 +74,22 @@ def verify(
     proof_with_pis: ProofWithPublicInputs,
     verifier_data: VerifierOnlyCircuitData,
     common: CommonCircuitData,
+    gc=None,
 ) -> None:
+    from .generic_config import poseidon_goldilocks_config
+
+    gc = gc or poseidon_goldilocks_config()
     proof = proof_with_pis.proof
     _ensure(
         len(proof_with_pis.public_inputs) == common.num_public_inputs,
         "wrong number of public inputs",
     )
-    public_inputs_hash = proof_with_pis.get_public_inputs_hash()
+    public_inputs_hash = proof_with_pis.get_public_inputs_hash(gc)
     challenges = get_challenges(
-        proof_with_pis, public_inputs_hash, verifier_data.circuit_digest, common
+        proof_with_pis, public_inputs_hash, verifier_data.circuit_digest, common, gc=gc
     )
     verify_with_challenges(
-        proof, public_inputs_hash, challenges, verifier_data, common
+        proof, public_inputs_hash, challenges, verifier_data, common, gc=gc
     )
 
 
@@ -91,6 +99,7 @@ def verify_with_challenges(
     challenges: ProofChallenges,
     verifier_data: VerifierOnlyCircuitData,
     common: CommonCircuitData,
+    gc=None,
 ) -> None:
     o = proof.openings
     zeta = challenges.plonk_zeta
@@ -139,4 +148,5 @@ def verify_with_challenges(
         merkle_caps,
         proof.opening_proof,
         common.fri_params,
+        hasher=gc.hasher if gc is not None else None,
     )
