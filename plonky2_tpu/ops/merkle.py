@@ -204,6 +204,129 @@ class HostMerkleTree:
 
 
 # ---------------------------------------------------------------------------
+# Batch Merkle tree: matrices of decreasing power-of-two heights in one tree
+# (reference: plonky2/src/hash/batch_merkle_tree.rs:25-165). Level-major
+# device build: compress the tallest matrix down to the next height, then
+# re-hash [digest ‖ next-matrix row] as the new leaf layer.
+# ---------------------------------------------------------------------------
+
+
+def _batch_tree_levels(matrices, cap_height: int):
+    heights = [log2_strict(m[0].shape[0]) for m in matrices]
+    cur = dp.hash_leaf(matrices[0])  # [n0, 4]
+    levels = [cur]
+    mi = 1
+    h = heights[0]
+    while h > cap_height:
+        left = (cur[0][0::2], cur[1][0::2])
+        right = (cur[0][1::2], cur[1][1::2])
+        cur = dp.two_to_one(left, right)
+        h -= 1
+        if mi < len(matrices) and h == heights[mi]:
+            joined = (
+                jnp.concatenate([cur[0], matrices[mi][0]], axis=1),
+                jnp.concatenate([cur[1], matrices[mi][1]], axis=1),
+            )
+            cur = dp.hash_leaf(joined)
+            mi += 1
+        levels.append(cur)
+    assert mi == len(matrices), "arity schedule does not visit every matrix"
+    return tuple(levels)
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _batch_tree_levels_jit(matrices, cap_height: int):
+    return _batch_tree_levels(matrices, cap_height)
+
+
+@dataclass
+class BatchDeviceMerkleTree:
+    """leaves: per-matrix [n_i, w_i] (tallest first); levels[k] is the
+    digest row at height h0-k AFTER any matrix join at that height."""
+
+    leaves: List[gf.Gf]
+    leaf_heights: List[int]
+    levels: List[gf.Gf]
+    cap_height: int
+
+    @staticmethod
+    def build(matrices: List[gf.Gf], cap_height: int) -> "BatchDeviceMerkleTree":
+        heights = [log2_strict(m[0].shape[0]) for m in matrices]
+        assert all(heights[i] > heights[i + 1] for i in range(len(heights) - 1))
+        assert cap_height <= heights[-1]
+        levels = list(_batch_tree_levels_jit(tuple(matrices), cap_height))
+        return BatchDeviceMerkleTree(
+            leaves=list(matrices),
+            leaf_heights=heights,
+            levels=levels,
+            cap_height=cap_height,
+        )
+
+    @property
+    def cap(self) -> gf.Gf:
+        return self.levels[-1]
+
+    def cap_u64(self) -> np.ndarray:
+        return np.asarray(gf.to_u64(self.cap)).reshape(-1, 4)
+
+    def values_batch(self, leaf_indices: np.ndarray) -> List[np.ndarray]:
+        """Per matrix: [Q, w_i] rows at index >> (h0 - h_i)."""
+        h0 = self.leaf_heights[0]
+        out = []
+        for m, h in zip(self.leaves, self.leaf_heights):
+            idx = jnp.asarray(
+                np.asarray(leaf_indices, dtype=np.int64) >> (h0 - h), dtype=jnp.int32
+            )
+            lo, hi = _gather_leaves_batch(m[0], m[1], idx)
+            out.append(np.asarray(gf.to_u64((lo, hi))))
+        return out
+
+    def prove_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
+        """[Q, h0-cap_height, 4] sibling digests."""
+        if len(self.levels) == 1:
+            return np.zeros((len(leaf_indices), 0, 4), dtype=np.uint64)
+        idx = jnp.asarray(np.asarray(leaf_indices, dtype=np.int32))
+        lo, hi = _gather_paths_batch(
+            tuple(l[0] for l in self.levels[:-1]),
+            tuple(l[1] for l in self.levels[:-1]),
+            idx,
+        )
+        return np.asarray(gf.to_u64((lo, hi)))
+
+
+def verify_batch_merkle_proof_to_cap(
+    leaf_data: List[List[int]],
+    leaf_heights: List[int],
+    leaf_index: int,
+    cap: np.ndarray,
+    siblings,
+    hasher=None,
+) -> bool:
+    """core/src/merkle_proofs.rs:59-97."""
+    if hasher is None:
+        from ..hash import poseidon as hp
+
+        hasher = hp
+    assert len(leaf_data) == len(leaf_heights)
+    digest = hasher.hash_leaf(list(leaf_data[0]))
+    height = leaf_heights[0]
+    data_index = 1
+    idx = leaf_index
+    for sib in siblings:
+        if idx & 1:
+            digest = hasher.two_to_one(sib, digest)
+        else:
+            digest = hasher.two_to_one(digest, sib)
+        idx >>= 1
+        height -= 1
+        if data_index < len(leaf_heights) and height == leaf_heights[data_index]:
+            digest = hasher.hash_leaf(list(digest) + list(leaf_data[data_index]))
+            data_index += 1
+    assert data_index == len(leaf_data)
+    return tuple(int(x) for x in cap[idx]) == digest
+
+
+# ---------------------------------------------------------------------------
 # Host-side verification (reference: core/src/merkle_proofs.rs)
 # ---------------------------------------------------------------------------
 
