@@ -171,6 +171,8 @@ def add_virtual_proof_with_pis(builder, common: CommonCircuitData) -> ProofWithP
         plonk_zs_next=builder.add_virtual_extension_targets(nc),
         partial_products=builder.add_virtual_extension_targets(nc * common.num_partial_products),
         quotient_polys=builder.add_virtual_extension_targets(common.num_quotient_polys()),
+        lookup_zs=builder.add_virtual_extension_targets(common.num_all_lookup_polys()),
+        lookup_zs_next=builder.add_virtual_extension_targets(common.num_all_lookup_polys()),
     )
     proof = ProofTarget(
         wires_cap=add_virtual_cap(builder, cap_height),
@@ -225,6 +227,8 @@ def set_proof_with_pis_target(pw, target: ProofWithPublicInputsTarget, proof_wit
     _set_exts(pw, o_t.plonk_zs_next, o.plonk_zs_next)
     _set_exts(pw, o_t.partial_products, o.partial_products)
     _set_exts(pw, o_t.quotient_polys, o.quotient_polys)
+    _set_exts(pw, o_t.lookup_zs, o.lookup_zs)
+    _set_exts(pw, o_t.lookup_zs_next, o.lookup_zs_next)
 
     f_t, f = target.proof.opening_proof, proof.opening_proof
     for cap_t, cap in zip(f_t.commit_phase_merkle_caps, f.commit_phase_merkle_caps):

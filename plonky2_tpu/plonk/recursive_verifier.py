@@ -61,6 +61,7 @@ class ProofChallengesTarget:
     plonk_alphas: List[Target]
     plonk_zeta: ExtensionTarget
     fri_challenges: FriChallengesTarget
+    plonk_deltas: List[Target] = None
 
 
 def _observe_fri_params(builder, challenger: RecursiveChallenger, params) -> None:
@@ -94,6 +95,12 @@ def get_challenges_circuit(
     ch.observe_cap(proof.wires_cap)
     plonk_betas = ch.get_n_challenges(nc)
     plonk_gammas = ch.get_n_challenges(nc)
+    plonk_deltas = []
+    if inner_common.num_lookup_polys:
+        from .vanishing import NUM_COINS_LOOKUP
+
+        additional = ch.get_n_challenges(NUM_COINS_LOOKUP * nc - 2 * nc)
+        plonk_deltas = plonk_betas + plonk_gammas + additional
     ch.observe_cap(proof.plonk_zs_partial_products_cap)
     plonk_alphas = ch.get_n_challenges(nc)
     ch.observe_cap(proof.quotient_polys_cap)
@@ -109,7 +116,7 @@ def get_challenges_circuit(
         inner_common.fri_params.config,
     )
     return ProofChallengesTarget(
-        plonk_betas, plonk_gammas, plonk_alphas, plonk_zeta, fri_ch
+        plonk_betas, plonk_gammas, plonk_alphas, plonk_zeta, fri_ch, plonk_deltas
     )
 
 
@@ -122,6 +129,7 @@ def eval_vanishing_poly_circuit(
     betas: List[Target],
     gammas: List[Target],
     alphas: List[Target],
+    deltas: List[Target] = (),
 ) -> List[ExtensionTarget]:
     A = CircuitAlgebra(builder)
     n = inner_common.degree
@@ -132,6 +140,22 @@ def eval_vanishing_poly_circuit(
     den = builder.constant_scalar_mul_ext(n % gl.P, builder.sub_extension(zeta, one))
     l_0 = builder.div_extension(z_h, den)
 
+    lut_evals = None
+    if inner_common.num_lookup_polys:
+        from .vanishing import NUM_COINS_LOOKUP, get_lut_poly_eval_circuit
+
+        nc2 = inner_common.config.num_challenges
+        num_lut_slots = inner_common.config.num_routed_wires // 3
+        lut_evals = []
+        for i in range(nc2):
+            d4 = deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)]
+            evals_i = []
+            for li in range(len(inner_common.luts)):
+                rows = -(-len(inner_common.luts[li]) // num_lut_slots)
+                degree = rows * num_lut_slots
+                t = get_lut_poly_eval_circuit(builder, inner_common, li, d4, degree)
+                evals_i.append(builder.convert_to_ext(t))
+            lut_evals.append(evals_i)
     terms = _vanishing_terms(
         inner_common,
         A,
@@ -147,6 +171,10 @@ def eval_vanishing_poly_circuit(
         [builder.convert_to_ext(t) for t in betas],
         [builder.convert_to_ext(t) for t in gammas],
         one,
+        local_lookup_zs=list(openings.lookup_zs) or None,
+        next_lookup_zs=list(openings.lookup_zs_next) or None,
+        deltas=[builder.convert_to_ext(t) for t in deltas] or None,
+        lut_evals=lut_evals,
     )
     out = []
     for a in alphas:
@@ -163,9 +191,6 @@ def verify_proof_circuit(
 ) -> None:
     """builder.verify_proof — the recursion entry point."""
     assert len(pwp_t.public_inputs) == inner_common.num_public_inputs
-    assert inner_common.num_lookup_polys == 0, (
-        "recursive verification of lookup circuits lands in a later round"
-    )
     public_inputs_hash = builder.hash_n_to_hash_no_pad(list(pwp_t.public_inputs))
     challenges = get_challenges_circuit(
         builder, pwp_t, public_inputs_hash, inner_verifier_data, inner_common
@@ -189,6 +214,7 @@ def verify_with_challenges_circuit(
     vanishing = eval_vanishing_poly_circuit(
         builder, inner_common, zeta, o, public_inputs_hash,
         challenges.plonk_betas, challenges.plonk_gammas, challenges.plonk_alphas,
+        deltas=challenges.plonk_deltas or (),
     )
 
     zeta_pow_deg = builder.exp_power_of_2_extension(zeta, inner_common.degree_bits)

@@ -179,6 +179,31 @@ def get_lut_poly_eval(common, lut_index: int, challenge_b: int, challenge_delta:
     return acc
 
 
+def get_lut_poly_eval_circuit(builder, common, lut_index: int, deltas4, degree: int):
+    """In-circuit LUT polynomial evaluation at ChallengeDelta
+    (vanishing_poly.rs:754-792): coeff_i = inp_i + B*out_i as circuit ops,
+    Horner over the padded list with the first entry at the highest power.
+    deltas4: the 4 per-challenge delta Targets."""
+    b = deltas4[1]  # ChallengeB
+    delta = deltas4[3]  # ChallengeDelta
+    lut = common.luts[lut_index]
+    nb_slots = common.config.num_routed_wires // 3
+    n = len(lut)
+    nb_padded = (nb_slots - n % nb_slots) % nb_slots
+    coeffs = [
+        builder.add_const(builder.mul_const(int(o), b), int(i)) for i, o in lut
+    ]
+    pi, po = lut[0]
+    for _ in range(nb_padded):
+        coeffs.append(builder.add_const(builder.mul_const(int(po), b), int(pi)))
+    zero = builder.constant(0)
+    coeffs += [zero] * (degree - len(coeffs))
+    acc = zero
+    for c in coeffs:
+        acc = builder.add(builder.mul(acc, delta), c)
+    return acc
+
+
 def _lookup_terms(
     common,
     A,

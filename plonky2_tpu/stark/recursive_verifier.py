@@ -40,6 +40,8 @@ class StarkOpeningSetTarget:
     local_values: List[ExtensionTarget]
     next_values: List[ExtensionTarget]
     quotient_polys: List[ExtensionTarget]
+    auxiliary_polys: List[ExtensionTarget] = None
+    auxiliary_polys_next: List[ExtensionTarget] = None
 
 
 @dataclass
@@ -48,6 +50,7 @@ class StarkProofTarget:
     quotient_polys_cap: MerkleCapTarget
     openings: StarkOpeningSetTarget
     opening_proof: object  # FriProofTarget
+    auxiliary_polys_cap: MerkleCapTarget = None
 
 
 @dataclass
@@ -71,7 +74,11 @@ def add_virtual_stark_proof_with_pis(
     shim.fri_params = fri_params
     shim.config = config
 
-    widths = [stark.num_columns(), stark.num_quotient_polys(config)]
+    num_aux = stark.num_lookup_helper_columns(config)
+    widths = [stark.num_columns()]
+    if num_aux:
+        widths.append(num_aux)
+    widths.append(stark.num_quotient_polys(config))
     fri = add_virtual_fri_proof(builder, shim, widths=widths)
 
     openings = StarkOpeningSetTarget(
@@ -80,12 +87,21 @@ def add_virtual_stark_proof_with_pis(
         quotient_polys=builder.add_virtual_extension_targets(
             stark.num_quotient_polys(config)
         ),
+        auxiliary_polys=(
+            builder.add_virtual_extension_targets(num_aux) if num_aux else None
+        ),
+        auxiliary_polys_next=(
+            builder.add_virtual_extension_targets(num_aux) if num_aux else None
+        ),
     )
     proof = StarkProofTarget(
         trace_cap=add_virtual_cap(builder, cap_height),
         quotient_polys_cap=add_virtual_cap(builder, cap_height),
         openings=openings,
         opening_proof=fri,
+        auxiliary_polys_cap=(
+            add_virtual_cap(builder, cap_height) if num_aux else None
+        ),
     )
     pis = builder.add_virtual_targets(stark.num_public_inputs())
     return StarkProofWithPublicInputsTarget(proof, pis)
@@ -97,10 +113,15 @@ def set_stark_proof_with_pis_target(pw, target: StarkProofWithPublicInputsTarget
         pw.set_target(t, int(v))
     _set_cap(pw, target.proof.trace_cap, proof.trace_cap)
     _set_cap(pw, target.proof.quotient_polys_cap, proof.quotient_polys_cap)
+    if target.proof.auxiliary_polys_cap is not None:
+        _set_cap(pw, target.proof.auxiliary_polys_cap, proof.auxiliary_polys_cap)
     o_t, o = target.proof.openings, proof.openings
     _set_exts(pw, o_t.local_values, o.local_values)
     _set_exts(pw, o_t.next_values, o.next_values)
     _set_exts(pw, o_t.quotient_polys, o.quotient_polys)
+    if o_t.auxiliary_polys is not None:
+        _set_exts(pw, o_t.auxiliary_polys, o.auxiliary_polys)
+        _set_exts(pw, o_t.auxiliary_polys_next, o.auxiliary_polys_next)
 
     f_t, f = target.proof.opening_proof, proof.opening_proof
     for cap_t, cap in zip(f_t.commit_phase_merkle_caps, f.commit_phase_merkle_caps):
@@ -140,10 +161,12 @@ def _observe_config(builder, ch: RecursiveChallenger, config: StarkConfig) -> No
 def _eval_vanishing_circuit(
     builder, stark, config, degree_bits, local_values, next_values, public_inputs,
     alphas_ext, zeta: ExtensionTarget,
+    aux_local=None, aux_next=None, lookup_challenge_exts=None,
 ) -> List[ExtensionTarget]:
     """Single-point in-circuit constraint evaluation via the shared
     consumer (vanishing_poly.rs eval_vanishing_poly_circuit +
-    eval_l_0_and_l_last_circuit)."""
+    eval_l_0_and_l_last_circuit); logUp lookup constraints evaluate
+    through the same algebra-generic path (lookup.rs:873-941)."""
     A = CircuitAlgebra(builder)
     n = 1 << degree_bits
     g = gl.primitive_root_of_unity(degree_bits)
@@ -167,7 +190,19 @@ def _eval_vanishing_circuit(
         public_inputs=[builder.convert_to_ext(t) for t in public_inputs],
     )
     consumer = ConstraintConsumer(A, alphas_ext, z_last, l_0, l_last)
-    stark.eval(frame, consumer, A)
+    lookup_vars = None
+    if lookup_challenge_exts is not None:
+        from .lookup import LookupCheckVars
+
+        num_lookup = stark.num_lookup_helper_columns(config)
+        lookup_vars = LookupCheckVars(
+            local_values=list(aux_local[:num_lookup]),
+            next_values=list(aux_next[:num_lookup]),
+            challenges=list(lookup_challenge_exts),
+        )
+    from .vanishing import eval_vanishing_generic
+
+    eval_vanishing_generic(stark, frame, consumer, A, lookup_vars)
     return consumer.accumulators()
 
 
@@ -185,11 +220,25 @@ def verify_stark_proof_circuit(
     _observe_config(builder, ch, config)
     ch.observe_cap(proof.trace_cap)
 
+    # lookup grand-product challenges before the aux cap
+    # (get_challenges.rs:66-81 circuit dual)
+    lookup_challenge_exts = None
+    num_aux = stark.num_lookup_helper_columns(config)
+    if stark.uses_lookups():
+        from .lookup import get_grand_product_challenge_set_target
+
+        challenge_set = get_grand_product_challenge_set_target(builder, ch, nc)
+        lookup_challenge_exts = [
+            builder.convert_to_ext(c.beta) for c in challenge_set.challenges
+        ]
+    if proof.auxiliary_polys_cap is not None:
+        ch.observe_cap(proof.auxiliary_polys_cap)
+
     alphas_prime = ch.get_n_challenges(nc)
 
     # constraint-binding step (prover.rs:263-370), in-circuit
     C = stark.num_columns()
-    total = C * 2
+    total = C * 2 + num_aux * 2
     pow_degree = max(2, stark.constraint_degree() + 1)
     num_ext_powers = max(1, 50 // log2_ceil(pow_degree) - 1)
     num_zetas = -(-total // num_ext_powers)
@@ -206,6 +255,9 @@ def verify_stark_proof_circuit(
         builder, stark, config, degree_bits,
         dummy[:C], dummy[C : 2 * C], pwp_t.public_inputs,
         [builder.convert_to_ext(a) for a in alphas_prime], zeta_prime,
+        aux_local=dummy[2 * C : 2 * C + num_aux],
+        aux_next=dummy[2 * C + num_aux : 2 * C + 2 * num_aux],
+        lookup_challenge_exts=lookup_challenge_exts,
     )
     ch.observe_extension_elements(constraints)
     alphas = ch.get_n_challenges(nc)
@@ -214,8 +266,10 @@ def verify_stark_proof_circuit(
     zeta = ch.get_extension_challenge()
 
     o = proof.openings
-    zeta_batch_vals = o.local_values + o.quotient_polys
-    zeta_next_batch_vals = o.next_values
+    aux_vals = list(o.auxiliary_polys or [])
+    aux_next_vals = list(o.auxiliary_polys_next or [])
+    zeta_batch_vals = o.local_values + aux_vals + o.quotient_polys
+    zeta_next_batch_vals = o.next_values + aux_next_vals
     for batch in (zeta_batch_vals, zeta_next_batch_vals):
         ch.observe_extension_elements(batch)
 
@@ -232,6 +286,9 @@ def verify_stark_proof_circuit(
         builder, stark, config, degree_bits,
         o.local_values, o.next_values, pwp_t.public_inputs,
         [builder.convert_to_ext(a) for a in alphas], zeta,
+        aux_local=aux_vals,
+        aux_next=aux_next_vals,
+        lookup_challenge_exts=lookup_challenge_exts,
     )
     one = builder.one_extension()
     zeta_pow_deg = builder.exp_power_of_2_extension(zeta, degree_bits)
@@ -249,12 +306,16 @@ def verify_stark_proof_circuit(
     instance_t = FriInstanceInfoTarget(
         static_info=static_instance, batch_points=[zeta, zeta_next]
     )
+    caps = [proof.trace_cap]
+    if proof.auxiliary_polys_cap is not None:
+        caps.append(proof.auxiliary_polys_cap)
+    caps.append(proof.quotient_polys_cap)
     verify_fri_proof_circuit(
         builder,
         instance_t,
         [zeta_batch_vals, zeta_next_batch_vals],
         fri_ch,
-        [proof.trace_cap, proof.quotient_polys_cap],
+        caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
     )

@@ -49,3 +49,38 @@ def test_lookup_rejects_tampered_output():
     bad.public_inputs[-1] = (bad.public_inputs[-1] + 1) % gl.P
     with pytest.raises(Exception):
         verify(bad, data.verifier_only, data.common)
+
+
+def test_lookup_circuit_recursive_verification():
+    """A lookup circuit's proof verified in-circuit (reference:
+    plonky2/src/lookup_test.rs recursion cases): lookup selectors, RE/SLDC
+    openings and the in-circuit LUT polynomial evaluation all engage."""
+    from plonky2_tpu.hash import poseidon as hp
+    from plonky2_tpu.iop.generator import generate_partial_witness
+    from plonky2_tpu.plonk.proof_target import (
+        add_virtual_proof_with_pis,
+        set_proof_with_pis_target,
+    )
+    from plonky2_tpu.plonk.recursive_verifier import (
+        add_virtual_verifier_data,
+        set_verifier_data_target,
+        verify_proof_circuit,
+    )
+    from plonky2_tpu.plonk.witness_check import check_witness
+
+    inputs = [0, 3, 5]
+    data, pw_inner = _build(inputs)
+    pwp = prove(data.prover_only, data.common, pw_inner)
+    verify(pwp, data.verifier_only, data.common)
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pt = add_virtual_proof_with_pis(b, data.common)
+    vd_t = add_virtual_verifier_data(b, data.common.fri_params.config.cap_height)
+    verify_proof_circuit(b, pt, vd_t, data.common)
+    outer = b.build(commit=False)
+
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, pwp)
+    set_verifier_data_target(pw, vd_t, data.verifier_only)
+    witness = generate_partial_witness(pw, outer.prover_only, outer.common)
+    check_witness(outer, witness.full_witness(), hp.hash_no_pad([]))

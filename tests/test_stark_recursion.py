@@ -40,3 +40,26 @@ def test_recursive_stark_verifier_constraints():
     set_stark_proof_with_pis_target(pw, pt, pwp)
     witness = generate_partial_witness(pw, outer.prover_only, outer.common)
     check_witness(outer, witness.full_witness(), hp.hash_no_pad([]))
+
+
+def test_recursive_stark_verifier_with_lookups():
+    """A logUp lookup STARK (PermutationStark) verified in-circuit
+    (reference: starky/src/permutation_stark.rs recursive test)."""
+    from plonky2_tpu.stark.fixtures import PermutationStark
+
+    num_rows = 1 << 5
+    stark = PermutationStark(num_rows)
+    config = StarkConfig.standard_fast_config()
+    trace = stark.generate_trace(3)
+    pwp = stark_prove(stark, config, trace, [3])
+    verify_stark_proof(stark, pwp, config, 5)
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pt = add_virtual_stark_proof_with_pis(b, stark, config, 5)
+    verify_stark_proof_circuit(b, stark, pt, config, 5)
+    outer = b.build(commit=False)
+
+    pw = PartialWitness()
+    set_stark_proof_with_pis_target(pw, pt, pwp)
+    witness = generate_partial_witness(pw, outer.prover_only, outer.common)
+    check_witness(outer, witness.full_witness(), hp.hash_no_pad([]))
