@@ -104,6 +104,30 @@ class PermutationStark(Stark):
         pass
 
 
+class UnconstrainedStark(Stark):
+    """Two random columns, no constraints (reference:
+    starky/src/unconstrained_stark.rs:20-100)."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+
+    def num_columns(self) -> int:
+        return 2
+
+    def num_public_inputs(self) -> int:
+        return 0
+
+    def constraint_degree(self) -> int:
+        return 0
+
+    def generate_trace(self, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, gl.P, size=(2, self.num_rows), dtype=np.uint64)
+
+    def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
+        pass
+
+
 class CtlLookingStark(Stark):
     """Two value columns, both looking into a shared table via a CTL; no
     base constraints. Exercises the CTL helper-column path (two looking
