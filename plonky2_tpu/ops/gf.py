@@ -23,10 +23,12 @@ import numpy as np
 from ..field.goldilocks import P
 
 U32 = jnp.uint32
-_M16 = U32(0xFFFF)
-_M32 = U32(0xFFFF_FFFF)
-_P_LO = U32(1)  # p = (hi=0xFFFFFFFF, lo=0x00000001)
-_P_HI = U32(0xFFFF_FFFF)
+# numpy scalars (not jnp): they stay literals inside Pallas kernels
+# instead of becoming captured constants, and behave identically under XLA
+_M16 = np.uint32(0xFFFF)
+_M32 = np.uint32(0xFFFF_FFFF)
+_P_LO = np.uint32(1)  # p = (hi=0xFFFFFFFF, lo=0x00000001)
+_P_HI = np.uint32(0xFFFF_FFFF)
 
 Gf = tuple  # (lo: u32 array, hi: u32 array)
 
@@ -85,16 +87,16 @@ def _subb(a, b):
 def _mul32(a, b):
     """32x32 -> 64 as (lo32, hi32), via 16-bit partial products."""
     al = a & _M16
-    ah = a >> U32(16)
+    ah = a >> np.uint32(16)
     bl = b & _M16
-    bh = b >> U32(16)
+    bh = b >> np.uint32(16)
     ll = al * bl
     lh = al * bh
     hl = ah * bl
     hh = ah * bh
-    t = (ll >> U32(16)) + (lh & _M16) + (hl & _M16)  # < 2^18, no overflow
-    lo = (ll & _M16) | ((t & _M16) << U32(16))
-    hi = hh + (lh >> U32(16)) + (hl >> U32(16)) + (t >> U32(16))
+    t = (ll >> np.uint32(16)) + (lh & _M16) + (hl & _M16)  # < 2^18, no overflow
+    lo = (ll & _M16) | ((t & _M16) << np.uint32(16))
+    hi = hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) + (t >> np.uint32(16))
     return lo, hi
 
 
@@ -168,7 +170,7 @@ def reduce128(w0, w1, w2, w3) -> Gf:
     t0l2, b2 = _subb(t0l, borrow * _M32)
     t0h = t0h1 - b2
     # t1 = x_hi_lo * EPSILON = (w2 << 32) - w2
-    t1l = U32(0) - w2
+    t1l = np.uint32(0) - w2
     t1h = w2 - (w2 != 0).astype(U32)
     # res = t0 + t1, folding the carry back in as +EPSILON
     rl, c0 = _addc(t0l2, t1l)
@@ -318,7 +320,7 @@ def ext2_const(c) -> Gf:
     )
 
 
-_M16_ = U32(0xFFFF)
+_M16_ = np.uint32(0xFFFF)
 
 
 def sum_mod_p(a: Gf, axis: int = 0) -> Gf:
@@ -333,14 +335,14 @@ def sum_mod_p(a: Gf, axis: int = 0) -> Gf:
     n = lo.shape[axis]
     assert n < (1 << 16), "sum_mod_p axis too long"
     s0l = jnp.sum(lo & _M16_, axis=axis, dtype=U32)
-    s0h = jnp.sum(lo >> U32(16), axis=axis, dtype=U32)
+    s0h = jnp.sum(lo >> np.uint32(16), axis=axis, dtype=U32)
     s1l = jnp.sum(hi & _M16_, axis=axis, dtype=U32)
-    s1h = jnp.sum(hi >> U32(16), axis=axis, dtype=U32)
-    w0, c = _addc(s0l, (s0h & _M16_) << U32(16))
-    carry0 = c + (s0h >> U32(16))
-    w1a, c1 = _addc(s1l, (s1h & _M16_) << U32(16))
+    s1h = jnp.sum(hi >> np.uint32(16), axis=axis, dtype=U32)
+    w0, c = _addc(s0l, (s0h & _M16_) << np.uint32(16))
+    carry0 = c + (s0h >> np.uint32(16))
+    w1a, c1 = _addc(s1l, (s1h & _M16_) << np.uint32(16))
     w1, c2 = _addc(w1a, carry0)
-    w2 = c1 + c2 + (s1h >> U32(16))
+    w2 = c1 + c2 + (s1h >> np.uint32(16))
     return reduce128(w0, w1, w2, jnp.zeros_like(w2))
 
 

@@ -1,0 +1,36 @@
+"""Pallas kernels vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+
+from plonky2_tpu.field import goldilocks as gl
+from plonky2_tpu.ops import gf, ntt
+from plonky2_tpu.ops import pallas_kernels as pk
+
+
+def test_pallas_mul_matches_gf():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, (1 << 64) - 1, size=(8, 128), dtype=np.uint64)
+    b = rng.integers(0, (1 << 64) - 1, size=(8, 128), dtype=np.uint64)
+    want = gl.np_mul(gl.np_canonicalize(a), gl.np_canonicalize(b))
+    got = gf.to_u64(pk.mul(gf.from_u64(a), gf.from_u64(b), True))
+    want2 = gf.to_u64(gf.mul(gf.from_u64(a), gf.from_u64(b)))
+    assert np.array_equal(got, want2)
+    assert np.array_equal(gl.np_canonicalize(got), want)
+
+
+def test_pallas_fft_matches_ntt():
+    rng = np.random.default_rng(1)
+    coeffs = rng.integers(0, gl.P, size=(4, 1 << 8), dtype=np.uint64)
+    cg = gf.from_u64(coeffs)
+    want = np.asarray(gf.to_u64(ntt.fft(cg)))
+    got = np.asarray(gf.to_u64(pk.fft(cg, interpret=True)))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_ifft_roundtrip():
+    rng = np.random.default_rng(2)
+    coeffs = rng.integers(0, gl.P, size=(2, 1 << 7), dtype=np.uint64)
+    cg = gf.from_u64(coeffs)
+    vals = pk.fft(cg, interpret=True)
+    back = np.asarray(gf.to_u64(pk.ifft(vals, interpret=True)))
+    assert np.array_equal(back, coeffs)
