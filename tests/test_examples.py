@@ -1,5 +1,6 @@
 """Example-circuit e2e tests (reference: plonky2/examples/*)."""
 
+import pytest
 from plonky2_tpu.field import goldilocks as gl
 from plonky2_tpu.models.examples import (
     build_factorial,
@@ -32,3 +33,16 @@ def test_square_root():
     pwp = prove(data.prover_only, data.common, pw)
     assert pwp.public_inputs[0] == x_squared
     verify(pwp, data.verifier_only, data.common)
+
+
+@pytest.mark.slow
+def test_bench_recursion_chain():
+    """dummy inner -> two shrinking recursions -> serialization/compression
+    (reference: examples/bench_recursion.rs)."""
+    from plonky2_tpu.models.bench_recursion import benchmark
+    from plonky2_tpu.plonk.config import CircuitConfig
+
+    outer, info = benchmark(
+        CircuitConfig.standard_recursion_config(), 4, verbose=False
+    )
+    assert info["proof_bytes"] > 0 and info["common_data_bytes"] > 0
