@@ -1,0 +1,167 @@
+"""Multi-chip NTT: the six-step (Bailey) factorization over a device mesh
+(SURVEY §5.7-5.8; replaces the reference's single-node rayon FFT,
+field/src/fft.rs, for domains that exceed one chip).
+
+N = N1·N2 viewed as an [N1, N2] matrix with n = n1·N2 + n2, rows sharded
+across the mesh axis:
+
+  1. local N2-point row FFTs                (no comms)
+  2. twiddle by w_N^(n1·k2)                 (no comms; twiddles sharded)
+  3. transpose                              (all_to_all over ICI)
+  4. local N1-point row FFTs                (no comms)
+  5. transpose back to natural order        (all_to_all)
+
+The butterflies reuse the single-chip kernels (ops/ntt.py) on the local
+row batch; only the transposes cross chips. Inverse = same shape with
+inverse stage roots, inverse twiddles and a 1/N scale.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field import goldilocks as gl
+from ..ops import gf, ntt
+from ..utils.bits import log2_strict
+
+
+@lru_cache(maxsize=None)
+def _twiddles(n1_log: int, n2_log: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """w_N^(±n1·k2) as an [N1, N2] u32-limb pair (host precompute)."""
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    w = gl.primitive_root_of_unity(n1_log + n2_log)
+    if inverse:
+        w = gl.ginv(w)
+    rows = gl.np_powers(w, n1)  # w^n1
+    out = np.empty((n1, n2), dtype=np.uint64)
+    for i in range(n1):
+        out[i] = gl.np_powers(int(rows[i]), n2)
+    lo = (out & 0xFFFFFFFF).astype(np.uint32)
+    hi = (out >> np.uint64(32)).astype(np.uint32)
+    return lo, hi
+
+
+def _dist_transpose(y: gf.Gf, axis_name: str, num: int) -> gf.Gf:
+    """[R/d, C] per device -> [C/d, R]: tiled all_to_all + local transpose."""
+
+    def t(a):
+        z = jax.lax.all_to_all(a, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        return z.T
+
+    return t(y[0]), t(y[1])
+
+
+def six_step_fft(
+    x: gf.Gf,
+    mesh: Mesh,
+    axis_name: str = "x",
+    inverse: bool = False,
+) -> gf.Gf:
+    """Distributed NTT of a length-N limb pair; natural order in and out.
+
+    Derivation with n = n1 + N1·n2, k = k1·N2 + k2:
+      X[k1·N2+k2] = Σ_{n1} g1^{n1·k1} · w_N^{n1·k2} · Σ_{n2} x[n1+N1·n2] g2^{n2·k2}
+    so: load x as [N2, N1] (rows n2), transpose to rows n1, row-FFT over
+    n2, twiddle w_N^{n1·k2}, transpose, row-FFT over n1, transpose back.
+    Three all_to_alls over the mesh axis; everything else is local.
+    (A production pipeline fuses the first/last transpose into the
+    producing/consuming layout.)"""
+    n = x[0].shape[0]
+    n_log = log2_strict(n)
+    n1_log = n_log // 2
+    n2_log = n_log - n1_log
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    d = mesh.shape[axis_name]
+    assert n1 % d == 0 and n2 % d == 0, "mesh size must divide both factors"
+
+    tw = _twiddles(n1_log, n2_log, inverse)  # [N1, N2]: w_N^(±n1·k2)
+    roots2 = ntt.stage_roots(n2_log, inverse)
+    roots1 = ntt.stage_roots(n1_log, inverse)
+    n_inv = gl.ginv(n % gl.P)
+
+    def local(xlo, xhi, twlo, twhi):
+        y = (xlo, xhi)  # [N2/d, N1] rows n2
+        y = _dist_transpose(y, axis_name, d)  # [N1/d, N2] rows n1
+        y = ntt._butterflies(ntt.bit_reverse(y), roots2)  # FFT over n2
+        y = gf.mul(y, (twlo, twhi))  # w_N^(n1·k2)
+        y = _dist_transpose(y, axis_name, d)  # [N2/d, N1] rows k2
+        y = ntt._butterflies(ntt.bit_reverse(y), roots1)  # FFT over n1
+        y = _dist_transpose(y, axis_name, d)  # [N1/d, N2] rows k1
+        if inverse:
+            y = gf.mul_const(y, n_inv)
+        return y
+
+    spec = P(axis_name, None)
+    # jit the whole shard_map program: eager shard_map executes each inner
+    # primitive as its own per-op SPMD compile, which is pathologically slow
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec),
+        )
+    )
+
+    sharding = NamedSharding(mesh, spec)
+    xm = (
+        jax.device_put(x[0].reshape(n2, n1), sharding),
+        jax.device_put(x[1].reshape(n2, n1), sharding),
+    )
+    twm = (
+        jax.device_put(jnp.asarray(tw[0]), sharding),
+        jax.device_put(jnp.asarray(tw[1]), sharding),
+    )
+    out = shard_fn(xm[0], xm[1], twm[0], twm[1])
+    return out[0].reshape(n), out[1].reshape(n)
+
+
+def six_step_ifft(x: gf.Gf, mesh: Mesh, axis_name: str = "x") -> gf.Gf:
+    return six_step_fft(x, mesh, axis_name, inverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Merkle commitment: per-shard subtrees + cross-shard cap reduction
+# (SURVEY §2.8 tree parallelism; merkle_tree.rs:112-144's subtree split
+# becomes the mesh axis)
+# ---------------------------------------------------------------------------
+
+
+def sharded_merkle_cap(
+    leaves: gf.Gf, mesh: Mesh, cap_height: int, axis_name: str = "x"
+) -> gf.Gf:
+    """[n, w] leaves row-sharded; per-device subtree hash, then the top
+    log2(d) levels reduce over an all_gather of the shard roots."""
+    from ..ops import poseidon as dp
+
+    n = leaves[0].shape[0]
+    d = mesh.shape[axis_name]
+    assert (1 << cap_height) <= n // d, "cap must not cross into local subtrees"
+
+    def local(llo, lhi):
+        digests = dp.hash_leaf((llo, lhi))
+        cur = digests
+        while cur[0].shape[0] > max(1, (1 << cap_height) // d):
+            left = (cur[0][0::2], cur[1][0::2])
+            right = (cur[0][1::2], cur[1][1::2])
+            cur = dp.two_to_one(left, right)
+        return cur
+
+    spec = P(axis_name, None)
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+        )
+    )
+    sharding = NamedSharding(mesh, spec)
+    lm = (
+        jax.device_put(leaves[0], sharding),
+        jax.device_put(leaves[1], sharding),
+    )
+    return shard_fn(lm[0], lm[1])

@@ -768,3 +768,262 @@ def verifier_data_from_bytes(data: bytes, gate_serializer=None):
     if buf.remaining():
         raise SerializationError("trailing bytes")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prover-only / full circuit data (mod.rs:877-1010, 1897-1990). The
+# constants/sigmas PolynomialBatch serializes as its coefficient matrix;
+# the LDE + Merkle tree are recomputed on load (device-resident state is
+# cheaper to rebuild than to ship).
+# ---------------------------------------------------------------------------
+
+
+def _write_target_(buf: Buffer, t) -> None:
+    from .generator_serialization import _write_target
+
+    _write_target(buf, t)
+
+
+def prover_data_to_bytes(prover_only, common, generator_serializer=None) -> bytes:
+    from .generator_serialization import DefaultGeneratorSerializer, _write_target
+
+    gs = generator_serializer or DefaultGeneratorSerializer()
+    buf = Buffer()
+    buf.write_usize(len(prover_only.generators))
+    for g in prover_only.generators:
+        gs.write_generator(buf, g, common)
+    buf.write_usize(len(prover_only.generator_indices_by_watches))
+    for k in sorted(prover_only.generator_indices_by_watches):
+        buf.write_usize(k)
+        buf.write_usize_vec(prover_only.generator_indices_by_watches[k])
+    # constants_sigmas polynomial batch: coefficient matrix [m, n] u64
+    import numpy as _np
+
+    from ..ops import gf as _gf
+
+    coeffs = _np.asarray(_gf.to_u64(prover_only.constants_sigmas_commitment.polynomials))
+    buf.write_usize(coeffs.shape[0])
+    buf.write_usize(coeffs.shape[1])
+    for row in coeffs:
+        buf.write_field_vec([int(x) for x in row])
+    sig = _np.asarray(prover_only.sigmas)
+    buf.write_usize(sig.shape[0])
+    buf.write_usize(sig.shape[1])
+    for row in sig:
+        buf.write_field_vec([int(x) for x in row])
+    buf.write_usize(len(prover_only.subgroup))
+    buf.write_field_vec([int(x) for x in prover_only.subgroup])
+    buf.write_usize(len(prover_only.public_inputs))
+    for t in prover_only.public_inputs:
+        _write_target(buf, t)
+    buf.write_usize_vec(list(prover_only.representative_map))
+    buf.write_hash(prover_only.circuit_digest)
+    buf.write_usize(len(prover_only.lookup_rows))
+    for a, b, c in prover_only.lookup_rows:
+        buf.write_usize(a)
+        buf.write_usize(b)
+        buf.write_usize(c)
+    buf.write_usize(len(prover_only.lut_to_lookups))
+    for pairs in prover_only.lut_to_lookups:
+        buf.write_usize(len(pairs))
+        for (ti, to) in pairs:
+            _write_target(buf, ti)
+            _write_target(buf, to)
+    return buf.bytes()
+
+
+def prover_data_from_bytes(data: bytes, common, generator_serializer=None):
+    from ..fri.oracle import PolynomialBatch
+    from ..ops import gf as _gf
+    from ..plonk.circuit_data import ProverOnlyCircuitData
+    from .generator_serialization import DefaultGeneratorSerializer, _read_target
+
+    import numpy as _np
+
+    gs = generator_serializer or DefaultGeneratorSerializer()
+    buf = Buffer(data)
+    generators = [gs.read_generator(buf, common) for _ in range(buf.read_usize())]
+    watches = {}
+    for _ in range(buf.read_usize()):
+        k = buf.read_usize()
+        watches[k] = buf.read_usize_vec()
+    m = buf.read_usize()
+    n = buf.read_usize()
+    coeffs = _np.array(
+        [buf.read_field_vec(n) for _ in range(m)], dtype=_np.uint64
+    ).reshape(m, n)
+    commitment = PolynomialBatch.from_coeffs(
+        _gf.from_u64(coeffs),
+        common.config.fri_config.rate_bits,
+        False,
+        common.config.fri_config.cap_height,
+    )
+    sr = buf.read_usize()
+    sc = buf.read_usize()
+    sigmas = _np.array(
+        [buf.read_field_vec(sc) for _ in range(sr)], dtype=_np.uint64
+    ).reshape(sr, sc)
+    subgroup = _np.array(buf.read_field_vec(buf.read_usize()), dtype=_np.uint64)
+    public_inputs = [_read_target(buf) for _ in range(buf.read_usize())]
+    representative_map = buf.read_usize_vec()
+    circuit_digest = buf.read_hash()
+    lookup_rows = [
+        (buf.read_usize(), buf.read_usize(), buf.read_usize())
+        for _ in range(buf.read_usize())
+    ]
+    lut_to_lookups = []
+    for _ in range(buf.read_usize()):
+        pairs = [
+            (_read_target(buf), _read_target(buf)) for _ in range(buf.read_usize())
+        ]
+        lut_to_lookups.append(pairs)
+    if buf.remaining():
+        raise SerializationError("trailing bytes")
+    return ProverOnlyCircuitData(
+        generators=generators,
+        generator_indices_by_watches=watches,
+        constants_sigmas_commitment=commitment,
+        sigmas=sigmas,
+        subgroup=subgroup,
+        public_inputs=public_inputs,
+        representative_map=representative_map,
+        circuit_digest=circuit_digest,
+        lookup_rows=lookup_rows,
+        lut_to_lookups=lut_to_lookups,
+    )
+
+
+def circuit_data_to_bytes(data, gate_serializer=None, generator_serializer=None) -> bytes:
+    """Full CircuitData checkpoint: common ‖ prover_only ‖ verifier_only
+    (circuit_data.rs:85-120 to_bytes)."""
+    buf = Buffer()
+    buf.write_common_circuit_data(data.common, gate_serializer)
+    pb = prover_data_to_bytes(data.prover_only, data.common, generator_serializer)
+    buf.write_usize(len(pb))
+    buf.write_all(pb)
+    buf.write_verifier_only_circuit_data(data.verifier_only)
+    return buf.bytes()
+
+
+def circuit_data_from_bytes(data: bytes, gate_serializer=None, generator_serializer=None):
+    from ..plonk.circuit_data import CircuitData
+
+    buf = Buffer(data)
+    common = buf.read_common_circuit_data(gate_serializer)
+    plen = buf.read_usize()
+    prover_only = prover_data_from_bytes(
+        buf.read_exact(plen), common, generator_serializer
+    )
+    verifier_only = buf.read_verifier_only_circuit_data()
+    if buf.remaining():
+        raise SerializationError("trailing bytes")
+    return CircuitData(
+        prover_only=prover_only, verifier_only=verifier_only, common=common
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compressed proofs (mod.rs read_compressed_proof / fri_proof.rs:85-290).
+# Compressed structures have variable-length paths/evals (dedup +
+# inferable-eval removal), so lengths are written explicitly.
+# ---------------------------------------------------------------------------
+
+
+def _write_var_merkle_proof(buf: Buffer, proof: MerkleProof) -> None:
+    buf.write_u8(len(proof.siblings))
+    for sib in proof.siblings:
+        buf.write_hash(sib)
+
+
+def compressed_proof_to_bytes(cpwp, common) -> bytes:
+    buf = Buffer()
+    p = cpwp.proof
+    buf.write_merkle_cap(p.wires_cap)
+    buf.write_merkle_cap(p.plonk_zs_partial_products_cap)
+    buf.write_merkle_cap(p.quotient_polys_cap)
+    buf.write_opening_set(p.openings, common)
+    f = p.opening_proof
+    for cap in f.commit_phase_merkle_caps:
+        buf.write_merkle_cap(cap)
+    qr = f.query_round_proofs
+    buf.write_usize_vec(qr.indices)
+    for idx in sorted(qr.initial_trees_proofs):
+        itp = qr.initial_trees_proofs[idx]
+        for vals, proof in itp.evals_proofs:
+            buf.write_usize(len(vals))
+            buf.write_field_vec(vals)
+            _write_var_merkle_proof(buf, proof)
+    for step_map in qr.steps:
+        buf.write_usize(len(step_map))
+        for idx in sorted(step_map):
+            step = step_map[idx]
+            buf.write_usize(idx)
+            buf.write_usize(len(step.evals))
+            buf.write_field_ext_vec(step.evals)
+            _write_var_merkle_proof(buf, step.merkle_proof)
+    buf.write_usize(len(f.final_poly))
+    buf.write_field_ext_vec(f.final_poly)
+    buf.write_field(f.pow_witness)
+    buf.write_usize(len(cpwp.public_inputs))
+    buf.write_field_vec(cpwp.public_inputs)
+    return buf.bytes()
+
+
+def compressed_proof_from_bytes(data: bytes, common):
+    from ..fri.compress import CompressedFriProof, CompressedFriQueryRounds
+    from ..plonk.compressed_proof import (
+        CompressedProof,
+        CompressedProofWithPublicInputs,
+    )
+
+    buf = Buffer(data)
+    h = common.config.fri_config.cap_height
+    wires_cap = buf.read_merkle_cap(h)
+    zs_cap = buf.read_merkle_cap(h)
+    q_cap = buf.read_merkle_cap(h)
+    openings = buf.read_opening_set(common)
+    caps = [
+        buf.read_merkle_cap(h) for _ in common.fri_params.reduction_arity_bits
+    ]
+    indices = buf.read_usize_vec()
+    uniq = sorted(set(indices))
+    initial = {}
+    for idx in uniq:
+        evals_proofs = []
+        for _ in range(4):
+            vals = buf.read_field_vec(buf.read_usize())
+            proof = buf.read_merkle_proof()
+            evals_proofs.append((vals, proof))
+        initial[idx] = FriInitialTreeProof(evals_proofs=evals_proofs)
+    steps = []
+    for _ in common.fri_params.reduction_arity_bits:
+        step_map = {}
+        for _ in range(buf.read_usize()):
+            idx = buf.read_usize()
+            evals = buf.read_field_ext_vec(buf.read_usize())
+            mp = buf.read_merkle_proof()
+            step_map[idx] = FriQueryStep(evals=evals, merkle_proof=mp)
+        steps.append(step_map)
+    final_poly = buf.read_field_ext_vec(buf.read_usize())
+    pow_witness = buf.read_field()
+    pis = buf.read_field_vec(buf.read_usize())
+    if buf.remaining():
+        raise SerializationError("trailing bytes")
+    fri = CompressedFriProof(
+        commit_phase_merkle_caps=caps,
+        query_round_proofs=CompressedFriQueryRounds(
+            indices=indices, initial_trees_proofs=initial, steps=steps
+        ),
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
+    return CompressedProofWithPublicInputs(
+        CompressedProof(
+            wires_cap=wires_cap,
+            plonk_zs_partial_products_cap=zs_cap,
+            quotient_polys_cap=q_cap,
+            openings=openings,
+            opening_proof=fri,
+        ),
+        pis,
+    )

@@ -70,3 +70,49 @@ def test_truncated_rejected(fib):
         proof_from_bytes(raw[:-1], data.common)
     with pytest.raises(SerializationError):
         proof_from_bytes(raw + b"\0", data.common)
+
+
+def test_generator_and_circuit_data_roundtrip(fib):
+    """Full CircuitData checkpoint: generators, prover data, verifier
+    data (reference: circuit_data.rs to_bytes/from_bytes,
+    generator_serialization.rs)."""
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+    from plonky2_tpu.utils.serialization import (
+        circuit_data_from_bytes,
+        circuit_data_to_bytes,
+    )
+
+    data, pw = build_fibonacci(public_io=True)
+    raw = circuit_data_to_bytes(data)
+    data2 = circuit_data_from_bytes(raw)
+    assert [type(g).__name__ for g in data2.prover_only.generators] == [
+        type(g).__name__ for g in data.prover_only.generators
+    ]
+    # the restored circuit data proves and verifies
+    pwp = prove(data2.prover_only, data2.common, pw)
+    verify(pwp, data2.verifier_only, data2.common)
+
+
+def test_compressed_proof_roundtrip(fib):
+    from plonky2_tpu.plonk.compressed_proof import (
+        compress_proof,
+        decompress_proof,
+    )
+    from plonky2_tpu.utils.serialization import (
+        compressed_proof_from_bytes,
+        compressed_proof_to_bytes,
+    )
+
+    data, pwp = fib
+    compressed = compress_proof(pwp, data.verifier_only, data.common)
+    raw = compressed_proof_to_bytes(compressed, data.common)
+    back = compressed_proof_from_bytes(raw, data.common)
+    assert back.public_inputs == compressed.public_inputs
+    assert back.proof.opening_proof.query_round_proofs.indices == (
+        compressed.proof.opening_proof.query_round_proofs.indices
+    )
+    full = decompress_proof(back, data.verifier_only, data.common)
+    verify(full, data.verifier_only, data.common)
+    assert len(raw) < len(
+        __import__("plonky2_tpu.utils.serialization", fromlist=["proof_to_bytes"]).proof_to_bytes(pwp, data.common)
+    ), "compressed proof should be smaller"
