@@ -75,7 +75,12 @@ def keccak_f(state: List[int]) -> List[int]:
 
 
 def keccak256(data: bytes) -> bytes:
-    """Original Keccak-256 (pad 0x01, not SHA3's 0x06)."""
+    """Original Keccak-256 (pad 0x01, not SHA3's 0x06). Dispatches to the
+    native C engine when available (plonky2_tpu.native, ~130x)."""
+    from .. import native
+
+    if native.available():
+        return native.keccak256(data)
     rate = 136
     state = [0] * 25
     padded = bytearray(data)
