@@ -2,8 +2,12 @@
 
 Prints one JSON line: metric/value/unit/vs_baseline. Baseline: the
 reference whitepaper's ~300 ms recursive-proof generation on a 2021
-laptop (BASELINE.md) — until recursion lands, we report the e2e
-fibonacci prove wall time against the same 300 ms yardstick.
+laptop (BASELINE.md); we report the e2e fibonacci prove wall time
+against the same 300 ms yardstick. The remaining gap is transcript
+round-trip latency over the remote TPU tunnel (each Fiat-Shamir
+cap-observe/challenge pair is a device sync); a fully device-resident
+challenger that fuses the FRI commit phase into one program is the
+next step (round-3 backlog).
 """
 
 import json

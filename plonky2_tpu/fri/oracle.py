@@ -98,12 +98,7 @@ class PolynomialBatch:
         Device: Horner over coefficients is sequential, so evaluate via the
         power basis: p(z) = sum_i c_i z^i = two weighted sums of coefficient
         columns with host-precomputed z-powers."""
-        n = self.polynomials[0].shape[-1]
-        # powers of zeta (host, ext), then componentwise weighted sums
-        pows = [ge.ext_one(2)]
-        for _ in range(n - 1):
-            pows.append(ge.ext_mul(pows[-1], zeta))
-        pw = np.array(pows, dtype=np.uint64)  # [N, 2]
+        pw = ext_powers_np(zeta, self.polynomials[0].shape[-1])
         e0, e1 = _eval_all_jit(
             self.polynomials, gf.from_u64(pw[:, 0]), gf.from_u64(pw[:, 1])
         )
@@ -116,6 +111,80 @@ class PolynomialBatch:
 def _eval_all_jit(polynomials, w0, w1):
     coeffs_t = (polynomials[0].T, polynomials[1].T)  # [N, M]
     return gf.weighted_sum(coeffs_t, w0), gf.weighted_sum(coeffs_t, w1)
+
+
+def ext_powers_np(zeta: Tuple[int, ...], n: int) -> np.ndarray:
+    """[n, 2] u64 powers 1, z, ..., z^(n-1) by vectorized doubling:
+    log2(n) numpy steps instead of n Python extension multiplies."""
+    a = np.array([1], dtype=np.uint64)
+    b = np.array([0], dtype=np.uint64)
+    za, zb = int(zeta[0]), int(zeta[1])  # current z^len
+    W = 7  # quadratic extension x^2 - 7
+    while a.shape[0] < n:
+        # (a + b x) * (za + zb x) = (a*za + 7 b*zb) + (a*zb + b*za) x
+        na = gl.np_add(
+            gl.np_mul(a, np.uint64(za)),
+            gl.np_mul(np.uint64(W), gl.np_mul(b, np.uint64(zb))),
+        )
+        nb = gl.np_add(gl.np_mul(a, np.uint64(zb)), gl.np_mul(b, np.uint64(za)))
+        a = np.concatenate([a, na])
+        b = np.concatenate([b, nb])
+        za, zb = ge.ext_mul((za, zb), (za, zb))
+    out = np.stack([a[:n], b[:n]], axis=1)
+    return out
+
+
+def eval_commitments_at(
+    oracles: Sequence["PolynomialBatch"], zeta, zeta_next
+) -> List[List[Tuple[int, ...]]]:
+    """All oracles at zeta plus all oracles at g*zeta in ONE device
+    dispatch + ONE transfer (the per-oracle variant costs a sync each —
+    measurable over a high-latency TPU link)."""
+    n = oracles[0].polynomials[0].shape[-1]
+    for o in oracles:
+        assert o.polynomials[0].shape[-1] == n
+    pz = ext_powers_np(zeta, n)
+    pn = ext_powers_np(zeta_next, n)
+    args = []
+    for o in oracles:
+        args.append(o.polynomials)
+    e = _eval_many_jit(
+        tuple(tuple(a) for a in args),
+        gf.from_u64(pz[:, 0]),
+        gf.from_u64(pz[:, 1]),
+        gf.from_u64(pn[:, 0]),
+        gf.from_u64(pn[:, 1]),
+    )
+    flat = np.asarray(gf.to_u64((e[0], e[1])))  # [2*sum_m, 2] stacked
+    out: List[List[Tuple[int, ...]]] = []
+    pos = 0
+    for o in oracles:
+        m = o.num_polys
+        out.append([(int(r[0]), int(r[1])) for r in flat[pos : pos + m]])
+        pos += m
+    for o in oracles:
+        m = o.num_polys
+        out.append([(int(r[0]), int(r[1])) for r in flat[pos : pos + m]])
+        pos += m
+    return out
+
+
+@jax.jit
+def _eval_many_jit(poly_groups, z0, z1, n0, n1):
+    outs0, outs1 = [], []
+    for polys in poly_groups:
+        ct = (polys[0].T, polys[1].T)
+        a = gf.weighted_sum(ct, z0)
+        b = gf.weighted_sum(ct, z1)
+        outs0.append(jnp.stack([a[0], b[0]], axis=-1))
+        outs1.append(jnp.stack([a[1], b[1]], axis=-1))
+    for polys in poly_groups:
+        ct = (polys[0].T, polys[1].T)
+        a = gf.weighted_sum(ct, n0)
+        b = gf.weighted_sum(ct, n1)
+        outs0.append(jnp.stack([a[0], b[0]], axis=-1))
+        outs1.append(jnp.stack([a[1], b[1]], axis=-1))
+    return jnp.concatenate(outs0, axis=0), jnp.concatenate(outs1, axis=0)
 
 
 @jax.jit

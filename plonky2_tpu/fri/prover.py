@@ -160,6 +160,48 @@ def _leading_zeros64(x: int) -> int:
     return 64 - x.bit_length() if x else 64
 
 
+def _gather_all_trees(gathers):
+    """[(tree, indices)] -> [(leaf_rows [Q, w], sib_paths [Q, L, 4])] with a
+    single fused device dispatch and one flat transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import gf
+
+    device_parts = []
+    meta = []
+    for tree, idx in gathers:
+        leaves_d = tree.leaf_rows_device(idx)   # (lo [Q, w], hi)
+        paths_d = tree.sibling_paths_device(idx)  # (lo [Q, L, 4], hi)
+        q, w = leaves_d[0].shape
+        L = paths_d[0].shape[1]
+        meta.append((q, w, L))
+        device_parts.append((leaves_d, paths_d))
+
+    flat_lo = jnp.concatenate(
+        [p[0][0].reshape(-1) for p in device_parts]
+        + [p[1][0].reshape(-1) for p in device_parts]
+    )
+    flat_hi = jnp.concatenate(
+        [p[0][1].reshape(-1) for p in device_parts]
+        + [p[1][1].reshape(-1) for p in device_parts]
+    )
+    flat = np.asarray(gf.to_u64((flat_lo, flat_hi)))
+    out = []
+    pos = 0
+    leaf_sizes = [(q * w) for q, w, _ in meta]
+    path_sizes = [(q * L * 4) for q, _, L in meta]
+    leaf_arrays = []
+    for (q, w, L), sz in zip(meta, leaf_sizes):
+        leaf_arrays.append(flat[pos : pos + sz].reshape(q, w))
+        pos += sz
+    path_arrays = []
+    for (q, w, L), sz in zip(meta, path_sizes):
+        path_arrays.append(flat[pos : pos + sz].reshape(q, L, 4))
+        pos += sz
+    return list(zip(leaf_arrays, path_arrays))
+
+
 def _host_pow_grind(state, witness_pos: int, pow_bits: int, permutation) -> int:
     w = 0
     while True:
@@ -182,14 +224,21 @@ def _query_rounds(
     the host<->device round trips independent of the query count
     (prover.rs:210-268 redesigned for a high-latency device link)."""
     qi = np.array(query_indices, dtype=np.int64)
-    init_data = [(t.leaf_u64_batch(qi), t.prove_batch(qi)) for t in initial_trees]
-    step_data = []
+    # one device->host transfer for ALL trees' leaf rows and sibling paths
+    # (each individual transfer is a full round trip over the TPU tunnel)
+    gathers = []
+    for t in initial_trees:
+        gathers.append((t, qi))
     xi = qi
+    step_cosets = []
     for i, arity_bits in enumerate(fri_params.reduction_arity_bits):
         coset = xi >> arity_bits
-        t = trees[i]
-        step_data.append((t.leaf_u64_batch(coset), t.prove_batch(coset)))
+        step_cosets.append(coset)
+        gathers.append((trees[i], coset))
         xi = coset
+    all_rows = _gather_all_trees(gathers)
+    init_data = all_rows[: len(initial_trees)]
+    step_data = all_rows[len(initial_trees) :]
 
     rounds = []
     for q in range(len(query_indices)):

@@ -124,15 +124,23 @@ class DeviceMerkleTree:
 
     def prove_batch(self, leaf_indices: np.ndarray) -> np.ndarray:
         """[Q, num_path_levels, 4] sibling digests in one transfer."""
-        if len(self.levels) == 1:
-            return np.zeros((len(leaf_indices), 0, 4), dtype=np.uint64)
+        lo, hi = self.sibling_paths_device(leaf_indices)
+        return np.asarray(gf.to_u64((lo, hi)))
+
+    def leaf_rows_device(self, leaf_indices: np.ndarray) -> gf.Gf:
         idx = jnp.asarray(np.asarray(leaf_indices, dtype=np.int32))
-        lo, hi = _gather_paths_batch(
+        return _gather_leaves_batch(self.leaves[0], self.leaves[1], idx)
+
+    def sibling_paths_device(self, leaf_indices: np.ndarray) -> gf.Gf:
+        if len(self.levels) == 1:
+            z = jnp.zeros((len(leaf_indices), 0, 4), dtype=jnp.uint32)
+            return z, z
+        idx = jnp.asarray(np.asarray(leaf_indices, dtype=np.int32))
+        return _gather_paths_batch(
             tuple(l[0] for l in self.levels[:-1]),
             tuple(l[1] for l in self.levels[:-1]),
             idx,
         )
-        return np.asarray(gf.to_u64((lo, hi)))
 
 
 @dataclass
@@ -201,6 +209,13 @@ class HostMerkleTree:
                 cur >>= 1
             out.append(path)
         return np.array(out, dtype=np.uint64)
+
+    def leaf_rows_device(self, leaf_indices: np.ndarray) -> gf.Gf:
+        rows = self.leaf_u64_batch(leaf_indices)
+        return gf.from_u64(rows)
+
+    def sibling_paths_device(self, leaf_indices: np.ndarray) -> gf.Gf:
+        return gf.from_u64(self.prove_batch(leaf_indices))
 
 
 # ---------------------------------------------------------------------------

@@ -133,18 +133,27 @@ def prove(
     ]
     g = gl.primitive_root_of_unity(n_bits)
     zeta_next = ge.ext_scalar_mul(zeta, g)
-    cs_evals = prover_data.constants_sigmas_commitment.eval_all_at_ext(zeta)
-    zs_pp_evals = zs_pp_commitment.eval_all_at_ext(zeta)
-    zs_pp_next_evals = zs_pp_commitment.eval_all_at_ext(zeta_next)
+    # every oracle at zeta and g*zeta in one dispatch (the per-oracle
+    # variant costs a device sync each — dominant over a TPU tunnel)
+    (
+        cs_evals,
+        wires_evals,
+        zs_pp_evals,
+        q_evals,
+        _cs_next,
+        _wires_next,
+        zs_pp_next_evals,
+        _q_next,
+    ) = fo.eval_commitments_at(oracles, zeta, zeta_next)
     nzs = common.num_zs_partial_products_polys()
     openings = OpeningSet(
         constants=cs_evals[common.constants_range().start : common.constants_range().stop],
         plonk_sigmas=cs_evals[common.sigmas_range().start : common.sigmas_range().stop],
-        wires=wires_commitment.eval_all_at_ext(zeta),
+        wires=wires_evals,
         plonk_zs=zs_pp_evals[: nc],
         plonk_zs_next=zs_pp_next_evals[: nc],
         partial_products=zs_pp_evals[nc : nzs],
-        quotient_polys=quotient_commitment.eval_all_at_ext(zeta),
+        quotient_polys=q_evals,
         lookup_zs=zs_pp_evals[nzs:],
         lookup_zs_next=zs_pp_next_evals[nzs:],
     )
