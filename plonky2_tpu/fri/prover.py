@@ -6,8 +6,10 @@ Host drives the transcript; all O(N) math is device kernels
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..field import extension as ge
@@ -86,7 +88,120 @@ def _refold_values(coeffs, shift: int):
     return (vals[0].T, vals[1].T)
 
 
+def _fused_commit_fn(arities: tuple, cap_height: int, rate_bits: int, in_len: int):
+    """One compiled program for the whole FRI commit phase: per round the
+    tree levels, the cap observation + beta squeeze on a device-resident
+    challenger, the coefficient fold and the re-evaluation — zero host
+    round trips (the per-round host transcript costs ~2 device syncs per
+    round over a remote TPU link). The caller observes the final
+    polynomial afterwards on host, which also clears any buffered
+    challenger outputs, so only the sponge state needs to round-trip."""
+    from ..hash.device_challenger import DeviceChallenger
+    from ..ops import ntt as _ntt
+
+    def fn(coeffs, values, ch_state, ch_inbuf):
+        dc = DeviceChallenger.from_arrays(ch_state, ch_inbuf, in_len)
+        shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+        out_trees = []
+        for step, arity_bits in enumerate(arities):
+            arity = 1 << arity_bits
+            leaves, levels = fk._commit_phase_leaves_and_levels(
+                values, arity_bits, cap_height
+            )
+            out_trees.append((leaves, levels))
+            dc.observe_cap_rows(levels[-1])
+            b0, b1 = dc.get_extension_challenge()
+            beta = (jnp.stack([b0[0], b1[0]]), jnp.stack([b0[1], b1[1]]))  # [2]
+            pows_lo = [jnp.stack([jnp.uint32(1), jnp.uint32(0)])]
+            pows_hi = [jnp.stack([jnp.uint32(0), jnp.uint32(0)])]
+            for _ in range(arity - 1):
+                nxt = gf.ext2_mul((pows_lo[-1], pows_hi[-1]), beta)
+                pows_lo.append(nxt[0])
+                pows_hi.append(nxt[1])
+            beta_pows = (jnp.stack(pows_lo), jnp.stack(pows_hi))  # [arity, 2]
+            coeffs = fk.fold_coeffs(coeffs, beta_pows, arity_bits)
+            if step + 1 != len(arities):
+                shift = gl.gexp(shift, arity)
+                comp = (coeffs[0].T, coeffs[1].T)
+                vals = _ntt.coset_fft(comp, shift)
+                values = (vals[0].T, vals[1].T)
+        final_len = coeffs[0].shape[0] >> rate_bits
+        final = (coeffs[0][:final_len], coeffs[1][:final_len])
+        # after a squeeze the input buffer is empty; outputs will be
+        # cleared by the caller's final-poly observation
+        st_lo = jnp.stack([x[0] for x in dc.state])
+        st_hi = jnp.stack([x[1] for x in dc.state])
+        assert not dc.input_buffer
+        return out_trees, final, (st_lo, st_hi)
+
+    return fn
+
+
+_FUSED_COMMIT_CACHE = {}
+
+
+def _fri_committed_trees_fused(
+    coeffs: gf.Gf,
+    values: gf.Gf,
+    challenger: Challenger,
+    fri_params: FriParams,
+):
+    import jax as _jax
+
+    arities = tuple(fri_params.reduction_arity_bits)
+    cap_height = fri_params.config.cap_height
+    rate_bits = fri_params.config.rate_bits
+    in_len = len(challenger.input_buffer)
+    key = (arities, cap_height, rate_bits, in_len)
+    if key not in _FUSED_COMMIT_CACHE:
+        _FUSED_COMMIT_CACHE[key] = _jax.jit(
+            _fused_commit_fn(arities, cap_height, rate_bits, in_len)
+        )
+    jfn = _FUSED_COMMIT_CACHE[key]
+
+    state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)
+    inbuf_u64 = np.zeros(8, dtype=np.uint64)
+    if in_len:
+        inbuf_u64[:in_len] = np.array(challenger.input_buffer, dtype=np.uint64)
+    out_trees, final, (st_lo, st_hi) = jfn(
+        coeffs, values, gf.from_u64(state_u64), gf.from_u64(inbuf_u64)
+    )
+
+    trees = [
+        merkle.DeviceMerkleTree(leaves=leaves, levels=list(levels), cap_height=cap_height)
+        for leaves, levels in out_trees
+    ]
+    # one transfer: state ‖ final poly; host resumes the transcript
+    flat_lo = jnp.concatenate([st_lo, final[0].reshape(-1)])
+    flat_hi = jnp.concatenate([st_hi, final[1].reshape(-1)])
+    flat = np.asarray(gf.to_u64((flat_lo, flat_hi)))
+    challenger.sponge_state = [int(x) for x in flat[:12]]
+    challenger.input_buffer = []
+    challenger.output_buffer = []
+    final_poly = [(int(a), int(b)) for a, b in flat[12:].reshape(-1, 2)]
+    return trees, final_poly
+
+
 def _fri_committed_trees(
+    coeffs: gf.Gf,
+    values: gf.Gf,
+    challenger: Challenger,
+    fri_params: FriParams,
+    max_num_query_steps: Optional[int],
+    hasher=None,
+):
+    if (
+        os.environ.get("PLONKY2_TPU_FUSED_FRI", "1") != "0"
+        and max_num_query_steps is None
+        and (hasher is None or hasher.name == "poseidon")
+    ):
+        return _fri_committed_trees_fused(coeffs, values, challenger, fri_params)
+    return _fri_committed_trees_unfused(
+        coeffs, values, challenger, fri_params, max_num_query_steps, hasher
+    )
+
+
+def _fri_committed_trees_unfused(
     coeffs: gf.Gf,
     values: gf.Gf,
     challenger: Challenger,
