@@ -133,14 +133,14 @@ def poseidon_goldilocks_config() -> GenericConfig:
 
 
 def poseidon2_goldilocks_config() -> GenericConfig:
-    """Poseidon2 outer hasher (Merkle commitments + Fiat-Shamir); the
-    inner hasher stays Poseidon because the in-circuit sponge gadget
-    (public-input hashing, recursive verification) is Poseidon-based."""
+    """Poseidon2 for both the outer hasher (Merkle + Fiat-Shamir) and the
+    inner hasher (public-input hashing uses the in-circuit Poseidon2
+    pad10 sponge gadget). Recursive verification of proofs under this
+    config (a Poseidon2-based in-circuit challenger) is future work."""
     global _POSEIDON2
     if _POSEIDON2 is None:
-        _POSEIDON2 = GenericConfig(
-            "Poseidon2GoldilocksConfig", _poseidon2_spec(), _poseidon_spec()
-        )
+        spec = _poseidon2_spec()
+        _POSEIDON2 = GenericConfig("Poseidon2GoldilocksConfig", spec, spec)
     return _POSEIDON2
 
 
