@@ -41,6 +41,23 @@ def fri_proof(
     n = lde_polynomial_values[0].shape[0]
     assert lde_polynomial_coeffs[0].shape[0] == n
 
+    if (
+        os.environ.get("PLONKY2_TPU_FUSED_FRI", "1") != "0"
+        and max_num_query_steps is None
+        and final_poly_coeff_len is None
+        and (hasher is None or hasher.name == "poseidon")
+        and all(
+            isinstance(t, merkle.DeviceMerkleTree) for t in initial_merkle_trees
+        )
+    ):
+        return _fused_fri_proof(
+            initial_merkle_trees,
+            lde_polynomial_coeffs,
+            lde_polynomial_values,
+            challenger,
+            fri_params,
+        )
+
     # Commit phase
     trees, final_poly = _fri_committed_trees(
         lde_polynomial_coeffs,
@@ -135,6 +152,286 @@ def _fused_commit_fn(arities: tuple, cap_height: int, rate_bits: int, in_len: in
         return out_trees, final, (st_lo, st_hi)
 
     return fn
+
+
+def _fused_fri_fn(
+    arities: tuple,
+    cap_height: int,
+    rate_bits: int,
+    in_len: int,
+    pow_bits: int,
+    num_queries: int,
+    num_initial_trees: int,
+):
+    """The ENTIRE FRI proof as one compiled program: commit-phase folds +
+    device challenger transcript, final-poly observation, PoW grind
+    (in-graph while_loop), query-index squeeze, and every query-phase
+    gather. One host round trip for the whole opening proof."""
+    import jax as _jax
+    from jax import lax
+
+    from ..hash.device_challenger import DeviceChallenger
+    from ..ops import ntt as _ntt
+    from ..ops import poseidon as _dp
+
+    def fn(coeffs, values, ch_state, ch_inbuf, init_leaves, init_levels):
+        n_lde = values[0].shape[0]
+        dc = DeviceChallenger.from_arrays(ch_state, ch_inbuf, in_len)
+        shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+        out_trees = []
+        for step, arity_bits in enumerate(arities):
+            arity = 1 << arity_bits
+            leaves, levels = fk._commit_phase_leaves_and_levels(
+                values, arity_bits, cap_height
+            )
+            out_trees.append((leaves, levels))
+            dc.observe_cap_rows(levels[-1])
+            b0, b1 = dc.get_extension_challenge()
+            beta = (jnp.stack([b0[0], b1[0]]), jnp.stack([b0[1], b1[1]]))
+            pows_lo = [jnp.stack([jnp.uint32(1), jnp.uint32(0)])]
+            pows_hi = [jnp.stack([jnp.uint32(0), jnp.uint32(0)])]
+            for _ in range(arity - 1):
+                nxt = gf.ext2_mul((pows_lo[-1], pows_hi[-1]), beta)
+                pows_lo.append(nxt[0])
+                pows_hi.append(nxt[1])
+            beta_pows = (jnp.stack(pows_lo), jnp.stack(pows_hi))
+            coeffs = fk.fold_coeffs(coeffs, beta_pows, arity_bits)
+            if step + 1 != len(arities):
+                shift = gl.gexp(shift, arity)
+                comp = (coeffs[0].T, coeffs[1].T)
+                vals = _ntt.coset_fft(comp, shift)
+                values = (vals[0].T, vals[1].T)
+        final_len = coeffs[0].shape[0] >> rate_bits
+        final = (coeffs[0][:final_len], coeffs[1][:final_len])
+
+        # observe the final polynomial (fri.rs:398-404)
+        for i in range(final_len):
+            dc.observe_extension(
+                ((final[0][i, 0], final[1][i, 0]), (final[0][i, 1], final[1][i, 1]))
+            )
+
+        # PoW grind (fri/prover.rs:159-208) as an in-graph while_loop over
+        # candidate chunks, on the duplex state with pending inputs overlaid
+        grind_lo = [x[0] for x in dc.state]
+        grind_hi = [x[1] for x in dc.state]
+        witness_pos = len(dc.input_buffer)
+        for i, x in enumerate(dc.input_buffer):
+            grind_lo[i] = x[0]
+            grind_hi[i] = x[1]
+        slo = jnp.stack(grind_lo)
+        shi = jnp.stack(grind_hi)
+        chunk = fk._pow_chunk_size(pow_bits)
+
+        def try_chunk(start_lo, start_hi):
+            clo = start_lo + jnp.arange(chunk, dtype=jnp.uint32)
+            carry = (clo < start_lo).astype(jnp.uint32)
+            chi = start_hi + carry
+            st_lo = jnp.broadcast_to(slo, (chunk, 12)).at[:, witness_pos].set(clo)
+            st_hi = jnp.broadcast_to(shi, (chunk, 12)).at[:, witness_pos].set(chi)
+            olo, ohi = _dp.permute((st_lo, st_hi))
+            resp_hi = ohi[:, SPONGE_RATE - 1]
+            resp_lo = olo[:, SPONGE_RATE - 1]
+            if pow_bits == 0:
+                ok = jnp.ones_like(resp_hi, dtype=bool)
+            elif pow_bits <= 32:
+                ok = resp_hi < jnp.uint32(1 << (32 - pow_bits))
+            else:
+                ok = (resp_hi == 0) & (resp_lo < jnp.uint32(1 << (64 - pow_bits)))
+            found = jnp.any(ok)
+            first = jnp.argmax(ok).astype(jnp.uint32)
+            wlo = start_lo + first
+            whi = start_hi + (wlo < start_lo).astype(jnp.uint32)
+            return found, wlo, whi
+
+        def cond(c):
+            return ~c[0]
+
+        def body(c):
+            _, _, _, cur_lo, cur_hi = c
+            found, wlo, whi = try_chunk(cur_lo, cur_hi)
+            nlo = cur_lo + jnp.uint32(chunk)
+            nhi = cur_hi + (nlo < cur_lo).astype(jnp.uint32)
+            return (found, wlo, whi, nlo, nhi)
+
+        init = (
+            jnp.bool_(False),
+            jnp.uint32(0),
+            jnp.uint32(0),
+            jnp.uint32(0),
+            jnp.uint32(0),
+        )
+        found, wlo, whi, _, _ = lax.while_loop(cond, body, init)
+        witness = (wlo, whi)
+        dc.observe_element(witness)
+        dc.get_challenge()  # pow response (validated by the verifier)
+
+        # query indices: challenge mod lde_size (power of two => low bits)
+        mask = jnp.uint32(n_lde - 1)
+        q_idx = []
+        for _ in range(num_queries):
+            c = dc.get_challenge()
+            q_idx.append((c[0] & mask).astype(jnp.int32))
+        qi = jnp.stack(q_idx)
+
+        # gathers: every initial oracle + every commit tree
+        gathered = []
+        for t in range(num_initial_trees):
+            leaves = init_leaves[t]
+            levels = init_levels[t]
+            gathered.append(_gather_tree(leaves, levels, qi))
+        xi = qi
+        for i, arity_bits in enumerate(arities):
+            xi = xi >> arity_bits
+            leaves, levels = out_trees[i]
+            gathered.append(_gather_tree(leaves, levels, xi))
+
+        caps = [levels[-1] for _, levels in out_trees]
+        return out_trees, final, witness, caps, gathered
+
+    def _gather_tree(leaves, levels, idx):
+        rows = (jnp.take(leaves[0], idx, axis=0), jnp.take(leaves[1], idx, axis=0))
+        if len(levels) == 1:
+            z = jnp.zeros((idx.shape[0], 0, 4), dtype=jnp.uint32)
+            return rows, (z, z)
+        sib_lo, sib_hi = [], []
+        cur = idx
+        for lo, hi in zip(
+            [l[0] for l in levels[:-1]], [l[1] for l in levels[:-1]]
+        ):
+            sib = cur ^ 1
+            sib_lo.append(jnp.take(lo, sib, axis=0))
+            sib_hi.append(jnp.take(hi, sib, axis=0))
+            cur = cur >> 1
+        return rows, (jnp.stack(sib_lo, axis=1), jnp.stack(sib_hi, axis=1))
+
+    return fn
+
+
+_FUSED_FRI_CACHE = {}
+
+
+def _fused_fri_proof(
+    initial_merkle_trees,
+    lde_polynomial_coeffs,
+    lde_polynomial_values,
+    challenger,
+    fri_params,
+):
+    """fri_proof with one device round trip (see _fused_fri_fn)."""
+    import jax as _jax
+
+    arities = tuple(fri_params.reduction_arity_bits)
+    in_len = len(challenger.input_buffer)
+    key = (
+        arities,
+        fri_params.config.cap_height,
+        fri_params.config.rate_bits,
+        in_len,
+        fri_params.config.proof_of_work_bits,
+        fri_params.config.num_query_rounds,
+        len(initial_merkle_trees),
+    )
+    if key not in _FUSED_FRI_CACHE:
+        _FUSED_FRI_CACHE[key] = _jax.jit(_fused_fri_fn(*key))
+    jfn = _FUSED_FRI_CACHE[key]
+
+    state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)
+    inbuf_u64 = np.zeros(8, dtype=np.uint64)
+    if in_len:
+        inbuf_u64[:in_len] = np.array(challenger.input_buffer, dtype=np.uint64)
+    init_leaves = tuple(t.leaves for t in initial_merkle_trees)
+    init_levels = tuple(tuple(l for l in t.levels) for t in initial_merkle_trees)
+
+    out_trees, final, witness, caps, gathered = jfn(
+        lde_polynomial_coeffs,
+        lde_polynomial_values,
+        gf.from_u64(state_u64),
+        gf.from_u64(inbuf_u64),
+        init_leaves,
+        init_levels,
+    )
+
+    # ONE flat transfer: caps ‖ final ‖ pow ‖ all gathered rows/paths
+    parts_lo = [c[0].reshape(-1) for c in caps] + [final[0].reshape(-1)]
+    parts_hi = [c[1].reshape(-1) for c in caps] + [final[1].reshape(-1)]
+    parts_lo.append(witness[0].reshape(1))
+    parts_hi.append(witness[1].reshape(1))
+    meta = []
+    for rows, paths in gathered:
+        parts_lo += [rows[0].reshape(-1), paths[0].reshape(-1)]
+        parts_hi += [rows[1].reshape(-1), paths[1].reshape(-1)]
+        meta.append((rows[0].shape, paths[0].shape))
+    flat = np.asarray(
+        gf.to_u64((jnp.concatenate(parts_lo), jnp.concatenate(parts_hi)))
+    )
+
+    pos = 0
+    caps_np = []
+    for c in caps:
+        m = c[0].shape[0] * 4
+        caps_np.append(flat[pos : pos + m].reshape(-1, 4))
+        pos += m
+    final_len = final[0].shape[0]
+    final_poly = [
+        (int(a), int(b)) for a, b in flat[pos : pos + 2 * final_len].reshape(-1, 2)
+    ]
+    pos += 2 * final_len
+    pow_witness = int(flat[pos])
+    pos += 1
+    gathered_np = []
+    for rshape, pshape in meta:
+        rn = int(np.prod(rshape))
+        pn = int(np.prod(pshape))
+        rows = flat[pos : pos + rn].reshape(rshape)
+        pos += rn
+        paths = flat[pos : pos + pn].reshape(pshape)
+        pos += pn
+        gathered_np.append((rows, paths))
+
+    # NOTE: the host challenger is left at its pre-FRI state — the
+    # transcript completed on device and nothing reads the challenger
+    # after fri_proof (verification derives its own); prove() ends here.
+
+    num_init = len(initial_merkle_trees)
+    init_data = gathered_np[:num_init]
+    step_data = gathered_np[num_init:]
+    rounds = []
+    num_queries = fri_params.config.num_query_rounds
+    for q in range(num_queries):
+        evals_proofs = [
+            (
+                [int(v) for v in rows[q]],
+                MerkleProof([tuple(int(x) for x in s) for s in paths[q]]),
+            )
+            for rows, paths in init_data
+        ]
+        steps = []
+        for rows, paths in step_data:
+            flat_vals = [int(v) for v in rows[q]]
+            evals = [
+                tuple(flat_vals[2 * k : 2 * k + 2])
+                for k in range(len(flat_vals) // 2)
+            ]
+            steps.append(
+                FriQueryStep(
+                    evals=evals,
+                    merkle_proof=MerkleProof(
+                        [tuple(int(x) for x in s) for s in paths[q]]
+                    ),
+                )
+            )
+        rounds.append(
+            FriQueryRound(
+                initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+                steps=steps,
+            )
+        )
+    return FriProof(
+        commit_phase_merkle_caps=caps_np,
+        query_round_proofs=rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
 
 
 _FUSED_COMMIT_CACHE = {}
