@@ -163,7 +163,15 @@ def verify_fri_proof(
     params: FriParams,
     hasher=None,
 ) -> None:
+    from .validate_shape import FriShapeError, validate_fri_proof_shape
+
     n = params.lde_size
+    # structural validation first (core/src/fri_verifier.rs:69 calls
+    # validate_fri_proof_shape before anything else)
+    try:
+        validate_fri_proof_shape(proof, instance, params)
+    except FriShapeError as e:
+        raise FriVerificationError(f"malformed FRI proof shape: {e}") from e
     fri_verify_proof_of_work(challenges.fri_pow_response, params.config)
     _ensure(
         params.config.num_query_rounds == len(proof.query_round_proofs),
@@ -299,6 +307,15 @@ def get_fri_inferred_elements(
     """The per-query per-step evaluations a verifier can infer (and a
     compressed proof therefore omits) — reference proof.rs
     get_inferred_elements."""
+    from .validate_shape import validate_fri_initial_proof_shape
+
+    # inference evaluates opening expressions before full proof-shape
+    # validation runs, so leaf shapes must be checked here first
+    # (fri_validate_shape.rs:85-108, #64696 hardening)
+    for round_proof in proof.query_round_proofs:
+        validate_fri_initial_proof_shape(
+            round_proof.initial_trees_proof, [instance], params.leaf_hiding
+        )
     n = params.lde_size
     log_n = log2_strict(n)
     precomputed = PrecomputedReducedOpenings(openings, challenges.fri_alpha)

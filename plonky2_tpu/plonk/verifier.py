@@ -78,12 +78,16 @@ def verify(
 ) -> None:
     from .generic_config import poseidon_goldilocks_config
 
+    from .validate_shape import ProofShapeError, validate_proof_with_pis_shape
+
     gc = gc or poseidon_goldilocks_config()
     proof = proof_with_pis.proof
-    _ensure(
-        len(proof_with_pis.public_inputs) == common.num_public_inputs,
-        "wrong number of public inputs",
-    )
+    # deliberate structural rejection before any value is consumed
+    # (reference: plonk/validate_shape.rs via verifier.rs:22)
+    try:
+        validate_proof_with_pis_shape(proof_with_pis, common)
+    except ProofShapeError as e:
+        raise VerificationError(f"malformed proof shape: {e}") from e
     public_inputs_hash = proof_with_pis.get_public_inputs_hash(gc)
     challenges = get_challenges(
         proof_with_pis, public_inputs_hash, verifier_data.circuit_digest, common, gc=gc
