@@ -4,14 +4,16 @@
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import TYPE_CHECKING, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..field import extension as ge
 from ..field import goldilocks as gl
 from ..fri.config import FriParams
-from ..fri.oracle import PolynomialBatch
+
+if TYPE_CHECKING:  # type-only: fri.oracle pulls jax; the verifier path must not
+    from ..fri.oracle import PolynomialBatch
 from ..fri.structure import (
     FriBatchInfo,
     FriInstanceInfo,

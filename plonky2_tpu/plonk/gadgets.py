@@ -402,6 +402,28 @@ class GadgetMixin:
 
     # ---- exponentiation gate gadget ----------------------------------------
 
+    def exp(self, base: Target, exponent: Target, num_bits: int) -> Target:
+        """base^exponent for a runtime exponent (< 2^num_bits), used by the
+        multi-degree verifier to derive degree-dependent constants
+        (gadgets/arithmetic.rs exp)."""
+        return self.exp_from_bits(base, self.split_le(exponent, num_bits))
+
+    def exp_extension_from_bits(
+        self, x: ExtensionTarget, bits: Sequence[BoolTarget]
+    ) -> ExtensionTarget:
+        """x^e with e given as LE bits: square-and-multiply with selected
+        factors (gadgets/arithmetic_extension.rs exp_extension_from_bits)."""
+        acc = self.one_extension()
+        cur = x
+        one = self.one_extension()
+        bits = list(bits)
+        for i, b in enumerate(bits):
+            factor = self.select_ext(b, cur, one)
+            acc = self.mul_extension(acc, factor)
+            if i + 1 < len(bits):
+                cur = self.mul_extension(cur, cur)
+        return acc
+
     def exp_from_bits(self, base: Target, exponent_bits: Sequence[BoolTarget]) -> Target:
         gate = ExponentiationGate(len(exponent_bits))
         row = self.add_gate(gate, [])
@@ -455,6 +477,85 @@ class GadgetMixin:
         for bit, sibling in zip(leaf_index_bits, proof_siblings):
             inputs = state + list(sibling) + [zero] * 4
             state = self.permute_swapped(inputs, bit)[:4]
+        for i in range(4):
+            got = self.random_access(cap_index, [h[i] for h in merkle_cap.hashes])
+            self.connect(got, state[i])
+
+    def conditional_assert_eq(self, condition: Target, x: Target, y: Target) -> None:
+        """condition * (x - y) == 0 — an equality check that a zero
+        condition disables (used by the multi-degree FRI verifier to skip
+        inactive fold steps, recursive_verifier.rs:676)."""
+        diff = self.sub(x, y)
+        prod = self.mul(condition, diff)
+        self.connect(prod, self.zero())
+
+    def conditional_assert_eq_ext(
+        self, condition: Target, x: ExtensionTarget, y: ExtensionTarget
+    ) -> None:
+        for a, b in zip(x.parts, y.parts):
+            self.conditional_assert_eq(condition, a, b)
+
+    def verify_merkle_proof_to_cap_with_cap_indices(
+        self,
+        condition: Target,
+        leaf_data: List[Target],
+        leaf_index_bits: List[BoolTarget],
+        log_n_range,
+        n_index: Target,
+        cap_index: Target,
+        merkle_cap,
+        proof_siblings: List[List[Target]],
+    ) -> None:
+        """Multi-length Merkle verification: hash the FULL max-length
+        sibling chain but keep a sliding window of intermediate states so
+        the state after (actual_path_len) compressions can be selected by
+        ``n_index`` = actual_log_n - min_log_n; the final equality is
+        gated on ``condition`` (hash/merkle_proofs.rs:108-161).
+
+        log_n_range: inclusive (min_log_n, max_log_n) pair."""
+        min_log_n, max_log_n = log_n_range
+        num_log_n = max_log_n - min_log_n + 1
+        zero = self.zero()
+        state = self.hash_leaf_circuit(leaf_data)
+        final_states = [state] * num_log_n
+        for bit, sibling in zip(leaf_index_bits, proof_siblings):
+            inputs = state + list(sibling) + [zero] * 4
+            state = self.permute_swapped(inputs, bit)[:4]
+            # slide: after all siblings, final_states[-1] is the full
+            # chain and final_states[-1-j] the chain short j compressions
+            for n in range(num_log_n - 1):
+                final_states[n] = final_states[n + 1]
+            final_states[num_log_n - 1] = state
+        for i in range(4):
+            got = self.random_access(cap_index, [h[i] for h in merkle_cap.hashes])
+            sel = self.random_access(n_index, [s[i] for s in final_states])
+            self.conditional_assert_eq(condition, got, sel)
+
+    def verify_batch_merkle_proof_to_cap_with_cap_index(
+        self,
+        leaf_data: List[List[Target]],
+        leaf_heights: List[int],
+        leaf_index_bits: List[BoolTarget],
+        cap_index: Target,
+        merkle_cap,
+        proof_siblings: List[List[Target]],
+    ) -> None:
+        """Batch-tree path verification: compress up the tallest matrix,
+        re-absorbing [digest ‖ next matrix row] whenever the chain reaches
+        a shorter matrix's height (hash/merkle_proofs.rs:163-220; host
+        dual in ops/merkle.py verify_batch_merkle_proof_to_cap)."""
+        zero = self.zero()
+        state = self.hash_leaf_circuit(list(leaf_data[0]))
+        height = leaf_heights[0]
+        data_index = 1
+        for bit, sibling in zip(leaf_index_bits, proof_siblings):
+            inputs = state + list(sibling) + [zero] * 4
+            state = self.permute_swapped(inputs, bit)[:4]
+            height -= 1
+            if data_index < len(leaf_heights) and height == leaf_heights[data_index]:
+                state = self.hash_leaf_circuit(state + list(leaf_data[data_index]))
+                data_index += 1
+        assert data_index == len(leaf_data), "arity schedule misses a matrix"
         for i in range(4):
             got = self.random_access(cap_index, [h[i] for h in merkle_cap.hashes])
             self.connect(got, state[i])
