@@ -67,6 +67,19 @@ class FriOpeningExpression:
     def single(poly: FriPolynomialInfo) -> "FriOpeningExpression":
         return FriOpeningExpression((FriOpeningTerm(FriCoefficient.one(), poly),))
 
+    @staticmethod
+    def split_mask(
+        low: FriPolynomialInfo, high: FriPolynomialInfo, split_power: int
+    ) -> "FriOpeningExpression":
+        """low + point^split_power * high — a degree-(>n) masked polynomial
+        committed as two degree-n halves (fri_structure.rs:76-89)."""
+        return FriOpeningExpression(
+            (
+                FriOpeningTerm(FriCoefficient.one(), low),
+                FriOpeningTerm(FriCoefficient.point_power(split_power), high),
+            )
+        )
+
     @property
     def is_single(self) -> bool:
         return len(self.terms) == 1 and self.terms[0].coefficient.kind == "one"

@@ -140,24 +140,84 @@ def _quotient_fn(
     return jfn
 
 
+def verifier_circuit_padding(verifier_circuit_fri_params):
+    """(final_poly_coeff_len, max_num_query_steps) so the FRI transcript
+    is padded to the shape a unified multi-degree recursive verifier was
+    built for (starky/src/prover.rs:61-76; plonky2/src/fri/prover.rs:78)."""
+    if verifier_circuit_fri_params is None:
+        return None, None
+    db = verifier_circuit_fri_params.degree_bits
+    for ab in verifier_circuit_fri_params.reduction_arity_bits:
+        db -= ab
+    return 1 << db, len(verifier_circuit_fri_params.reduction_arity_bits)
+
+
+def zk_mask_degree(config: StarkConfig) -> int:
+    """Degree bound for the Z_H-multiplied random mask R: every revealed
+    evaluation of T' = T + Z_H*R off the subgroup (zeta, g*zeta, and one
+    coset point per FRI query round) must stay simulatable, so
+    deg(R) >= #revealed - 1 with slack."""
+    return config.fri_config.num_query_rounds + 4
+
+
 def prove(
     stark: Stark,
     config: StarkConfig,
     trace: np.ndarray,  # u64 [num_columns, degree]
     public_inputs: List[int],
+    verifier_circuit_fri_params=None,
+    zero_knowledge: bool = False,
 ) -> StarkProofWithPublicInputs:
     """Single-table proof (prover.rs:39-113): commit the trace, start the
-    transcript, delegate to prove_with_commitment."""
-    trace_commitment = fo.PolynomialBatch.from_values(
-        gf.from_u64(trace), config.fri_config.rate_bits, False,
-        config.fri_config.cap_height,
-    )
+    transcript, delegate to prove_with_commitment.
+
+    verifier_circuit_fri_params: the (max-degree) FriParams of a unified
+    recursive verifier circuit that will consume this proof; pads the
+    FRI transcript with zero caps / zero final-poly coefficients so one
+    circuit verifies proofs of any supported degree.
+
+    zero_knowledge: mask every trace column with Z_H*R (R random,
+    degree > num query rounds) committed as split low/high halves with
+    salted leaves, and open via split-mask expressions
+    (core/src/fri_structure.rs:76-89) — the openings and query leaves
+    then leak nothing about the witness."""
+    num_cols, degree = trace.shape
+    degree_bits = degree.bit_length() - 1
+    zk_split = None
+    if zero_knowledge:
+        assert not stark.uses_lookups(), "zk starky with lookups lands later"
+        m = zk_mask_degree(config)
+        assert m + 1 < degree, "trace too short to hide the query pattern"
+        rng = np.random.default_rng()
+        r = rng.integers(0, gl.P, size=(num_cols, m + 1), dtype=np.uint64)
+        t_coeffs = ntt.ifft_jit(gf.from_u64(trace))  # [C, n]
+        r_pad = np.zeros((num_cols, degree), dtype=np.uint64)
+        r_pad[:, : m + 1] = r
+        r_dev = gf.from_u64(r_pad)
+        # T' = T - R + X^n R: lows = t - R, highs = R
+        lows = gf.sub(t_coeffs, r_dev)
+        coeffs = (
+            jnp.concatenate([lows[0], r_dev[0]], axis=0),
+            jnp.concatenate([lows[1], r_dev[1]], axis=0),
+        )  # [2C, n]
+        trace_commitment = fo.PolynomialBatch.from_coeffs(
+            coeffs, config.fri_config.rate_bits, True,
+            config.fri_config.cap_height,
+        )
+        zk_split = degree
+    else:
+        trace_commitment = fo.PolynomialBatch.from_values(
+            gf.from_u64(trace), config.fri_config.rate_bits, False,
+            config.fri_config.cap_height,
+        )
     challenger = Challenger()
     challenger.observe_elements([p % gl.P for p in public_inputs])
     config.observe(challenger)
     challenger.observe_cap(trace_commitment.cap_u64())
     return prove_with_commitment(
-        stark, config, trace, trace_commitment, None, None, challenger, public_inputs
+        stark, config, trace, trace_commitment, None, None, challenger, public_inputs,
+        verifier_circuit_fri_params=verifier_circuit_fri_params,
+        zk_split=zk_split,
     )
 
 
@@ -170,10 +230,16 @@ def prove_with_commitment(
     ctl_challenges,  # Optional[GrandProductChallengeSet]
     challenger: Challenger,
     public_inputs: List[int],
+    verifier_circuit_fri_params=None,
+    zk_split=None,
 ) -> StarkProofWithPublicInputs:
     """Proof body after the trace cap has been observed; supports lookups
     and cross-table lookups (prover.rs:124-460). The config must already
-    have been observed by the caller."""
+    have been observed by the caller.
+
+    zk_split: when set (= degree n), the trace commitment holds split
+    low/high halves of Z_H-masked columns and the proof opens them via
+    split-mask expressions; all oracles are salted."""
     fri_config = config.fri_config
     rate_bits = fri_config.rate_bits
     cap_height = fri_config.cap_height
@@ -183,8 +249,10 @@ def prove_with_commitment(
     assert num_cols == stark.num_columns()
     degree_bits = degree.bit_length() - 1
     assert 1 << degree_bits == degree
-    fri_params = config.fri_params(degree_bits)
-    qdb = (stark.quotient_degree_factor() - 1).bit_length()  # log2_ceil
+    zk = zk_split is not None
+    fri_params = config.fri_config.fri_params(degree_bits, leaf_hiding=zk)
+    qdf_eff = stark.quotient_degree_factor() + (1 if zk else 0)
+    qdb = (qdf_eff - 1).bit_length()  # log2_ceil
     assert qdb <= rate_bits, "quotient degree exceeds rate"
 
     # logUp lookups: grand-product challenges, helper columns (prover.rs:163-194)
@@ -260,6 +328,22 @@ def prove_with_commitment(
     z_last = gl.np_sub(xs, np.uint64(last))
 
     trace_nat = _natural_order_values(trace_commitment)
+    if zk:
+        # combine committed halves into masked values on the coset:
+        # T'(x) = low(x) + x^n * high(x); x^n = shift^n * v^i is periodic
+        # with period 2^rate_bits over the natural-order lde domain
+        xn_period = gl.np_mul(
+            np.uint64(gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, degree)),
+            gl.two_adic_subgroup(rate_bits),
+        )
+        xn = gf.from_u64(np.tile(xn_period, lde_n // (1 << rate_bits)))
+        low_nat = (trace_nat[0][:num_cols], trace_nat[1][:num_cols])
+        high_nat = (trace_nat[0][num_cols:], trace_nat[1][num_cols:])
+        xn_b = (
+            jnp.broadcast_to(xn[0], high_nat[0].shape),
+            jnp.broadcast_to(xn[1], high_nat[1].shape),
+        )
+        trace_nat = gf.add(low_nat, gf.mul(high_nat, xn_b))
     qfn = _quotient_fn(
         stark,
         nc,
@@ -292,12 +376,13 @@ def prove_with_commitment(
         pair([p % gl.P for p in public_inputs]),
     )
     coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
-    qdf = stark.quotient_degree_factor()
-    # keep the first qdf degree-n chunks per challenge
+    qdf = qdf_eff
+    # keep the first qdf degree-n chunks per challenge (zk: one extra
+    # chunk absorbs the mask-degree overflow d*m)
     chunks_lo = coeffs[0].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
     chunks_hi = coeffs[1].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
-        (chunks_lo, chunks_hi), rate_bits, False, cap_height
+        (chunks_lo, chunks_hi), rate_bits, zk, cap_height
     )
     challenger.observe_cap(quotient_commitment.cap_u64())
 
@@ -312,9 +397,19 @@ def prove_with_commitment(
         ctl_zs_first = [
             v[0] for v in aux_at_one[num_lookup_columns + num_ctl_helpers :]
         ]
+    def _trace_evals(point):
+        evals = trace_commitment.eval_all_at_ext(point)
+        if not zk:
+            return evals
+        zn = ge.ext_exp(tuple(point), degree)
+        return [
+            ge.ext_add(lo, ge.ext_mul(zn, hi))
+            for lo, hi in zip(evals[:num_cols], evals[num_cols:])
+        ]
+
     openings = StarkOpeningSet(
-        local_values=trace_commitment.eval_all_at_ext(zeta),
-        next_values=trace_commitment.eval_all_at_ext(zeta_next),
+        local_values=_trace_evals(zeta),
+        next_values=_trace_evals(zeta_next),
         auxiliary_polys=(
             aux_commitment.eval_all_at_ext(zeta) if aux_commitment else None
         ),
@@ -329,13 +424,22 @@ def prove_with_commitment(
         challenger.observe_extension_elements(batch.values)
 
     instance = stark.fri_instance(
-        zeta, g_base, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs
+        zeta, g_base, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs,
+        zk_degree=degree if zk else 0,
     )
     commitments = [trace_commitment]
     if aux_commitment is not None:
         commitments.append(aux_commitment)
     commitments.append(quotient_commitment)
-    opening_proof = fo.prove_openings(instance, commitments, challenger, fri_params)
+    if verifier_circuit_fri_params is not None:
+        assert verifier_circuit_fri_params.config == fri_params.config, (
+            "unified verifier circuit must share the FriConfig"
+        )
+    fpcl, mnqs = verifier_circuit_padding(verifier_circuit_fri_params)
+    opening_proof = fo.prove_openings(
+        instance, commitments, challenger, fri_params,
+        final_poly_coeff_len=fpcl, max_num_query_steps=mnqs,
+    )
 
     proof = StarkProof(
         trace_cap=trace_commitment.cap_u64(),

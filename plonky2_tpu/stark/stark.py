@@ -118,12 +118,35 @@ class Stark:
         config,
         num_ctl_helpers: int = 0,
         num_ctl_zs: int = 0,
+        zk_degree: int = 0,
     ) -> FriInstanceInfo:
         """Opening spec: everything at zeta; trace+aux at g*zeta; CTL Z
-        polys additionally at 1 (stark.rs:115-197)."""
+        polys additionally at 1 (stark.rs:115-197).
+
+        zk_degree (nonzero => zero-knowledge): each trace column i is
+        committed as a (low, high) pair split at X^zk_degree — the
+        Z_H-masked column T'(X) = T(X) - R(X) + X^n R(X) — and every
+        logical trace opening is the split-mask expression
+        low_i + point^n * high_i (core/src/fri_structure.rs:76-89
+        FriOpeningExpression::split_mask). The trace oracle is salted
+        (blinding=true, fri/oracle.rs:243-264)."""
+        from ..fri.structure import FriOpeningExpression
+
         oracles = []
-        trace_info = FriPolynomialInfo.from_range(0, 0, self.num_columns())
-        oracles.append(FriOracleInfo(self.num_columns(), False))
+        C = self.num_columns()
+        if zk_degree:
+            # committed polys: lows 0..C, highs C..2C
+            lows = FriPolynomialInfo.from_range(0, 0, C)
+            highs = FriPolynomialInfo.from_range(0, C, 2 * C)
+            trace_exprs = [
+                FriOpeningExpression.split_mask(lo, hi, zk_degree)
+                for lo, hi in zip(lows, highs)
+            ]
+            oracles.append(FriOracleInfo(2 * C, True))
+        else:
+            trace_info = FriPolynomialInfo.from_range(0, 0, C)
+            trace_exprs = None
+            oracles.append(FriOracleInfo(C, False))
 
         num_lookup_columns = self.num_lookup_helper_columns(config)
         num_aux = num_lookup_columns + num_ctl_helpers + num_ctl_zs
@@ -133,18 +156,26 @@ class Stark:
             oracles.append(FriOracleInfo(num_aux, False))
 
         nq = self.num_quotient_polys(config)
+        if zk_degree:
+            nq += config.num_challenges  # one extra chunk absorbs the mask degree
         quotient_info = (
             FriPolynomialInfo.from_range(len(oracles), 0, nq) if nq else []
         )
         if nq:
-            oracles.append(FriOracleInfo(nq, False))
+            oracles.append(FriOracleInfo(nq, zk_degree != 0))
 
-        zeta_batch = FriBatchInfo.from_polys(
-            tuple(zeta), trace_info + aux_info + quotient_info
+        from ..fri.structure import FriOpeningExpression
+
+        def singles(infos):
+            return [FriOpeningExpression.single(p) for p in infos]
+
+        trace_open = trace_exprs if zk_degree else singles(trace_info)
+        zeta_batch = FriBatchInfo(
+            tuple(zeta), trace_open + singles(aux_info) + singles(quotient_info)
         )
         zeta_next = ge.ext_scalar_mul(zeta, g)
-        zeta_next_batch = FriBatchInfo.from_polys(
-            tuple(zeta_next), trace_info + aux_info
+        zeta_next_batch = FriBatchInfo(
+            tuple(zeta_next), trace_open + singles(aux_info)
         )
         batches = [zeta_batch, zeta_next_batch]
         if self.requires_ctls():

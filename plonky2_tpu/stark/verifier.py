@@ -33,6 +33,7 @@ def get_challenges(
     challenger: Optional[Challenger] = None,
     ctl_challenges=None,
     ctl_entries=None,
+    verifier_circuit_fri_params=None,
 ) -> StarkProofChallenges:
     """Recompute the transcript (get_challenges.rs:36-199). When
     `challenger` is given, the caller has already observed the head
@@ -83,6 +84,9 @@ def get_challenges(
     zeta = ch.get_extension_challenge(2)
     for batch in proof.openings.to_fri_openings().batches:
         ch.observe_extension_elements(batch.values)
+    from .prover import verifier_circuit_padding
+
+    fpcl, mnqs = verifier_circuit_padding(verifier_circuit_fri_params)
     fri_challenges = fv.fri_challenges(
         ch,
         proof.opening_proof.commit_phase_merkle_caps,
@@ -90,6 +94,8 @@ def get_challenges(
         proof.opening_proof.pow_witness,
         degree_bits,
         config.fri_config,
+        final_poly_coeff_len=fpcl,
+        max_num_query_steps=mnqs,
     )
     return StarkProofChallenges(
         lookup_challenges=lookup_challenges,
@@ -112,6 +118,7 @@ def verify_stark_proof_with_challenges(
     ctl_entries=None,
     num_ctl_helpers: int = 0,
     num_ctl_zs: int = 0,
+    zero_knowledge: bool = False,
 ) -> None:
     """Check the quotient identity at zeta and the FRI opening proof
     (verifier.rs:68-280)."""
@@ -133,7 +140,7 @@ def verify_stark_proof_with_challenges(
 
     zeta_pow_deg = ge.ext_exp(zeta, 1 << degree_bits)
     z_h_zeta = ge.ext_sub(zeta_pow_deg, ge.ext_one(2))
-    qdf = stark.quotient_degree_factor()
+    qdf = stark.quotient_degree_factor() + (1 if zero_knowledge else 0)
     for i in range(config.num_challenges):
         chunk = o.quotient_polys[i * qdf : (i + 1) * qdf]
         acc = ge.ext_zero(2)
@@ -146,7 +153,8 @@ def verify_stark_proof_with_challenges(
 
     g = gl.primitive_root_of_unity(degree_bits)
     instance = stark.fri_instance(
-        zeta, g, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs
+        zeta, g, config, num_ctl_helpers=num_ctl_helpers, num_ctl_zs=num_ctl_zs,
+        zk_degree=(1 << degree_bits) if zero_knowledge else 0,
     )
     merkle_caps = [proof.trace_cap]
     if proof.auxiliary_polys_cap is not None:
@@ -158,7 +166,7 @@ def verify_stark_proof_with_challenges(
         challenges.fri_challenges,
         merkle_caps,
         proof.opening_proof,
-        config.fri_params(degree_bits),
+        config.fri_config.fri_params(degree_bits, leaf_hiding=zero_knowledge),
     )
 
 
@@ -167,12 +175,23 @@ def verify_stark_proof(
     proof_with_pis: StarkProofWithPublicInputs,
     config: StarkConfig,
     degree_bits: int,
+    verifier_circuit_fri_params=None,
+    zero_knowledge: bool = False,
 ) -> None:
+    """verifier_circuit_fri_params: when the proof was produced with FRI
+    transcript padding for a unified recursive verifier, the host
+    verifier must replay the same padded transcript.
+    zero_knowledge: the proof commits Z_H-masked split trace halves with
+    salted leaves (see stark/prover.py prove)."""
     _ensure(
         len(proof_with_pis.public_inputs) == stark.num_public_inputs(),
         "wrong number of public inputs",
     )
-    challenges = get_challenges(stark, config, proof_with_pis, degree_bits)
+    challenges = get_challenges(
+        stark, config, proof_with_pis, degree_bits,
+        verifier_circuit_fri_params=verifier_circuit_fri_params,
+    )
     verify_stark_proof_with_challenges(
-        stark, proof_with_pis, challenges, config, degree_bits
+        stark, proof_with_pis, challenges, config, degree_bits,
+        zero_knowledge=zero_knowledge,
     )
