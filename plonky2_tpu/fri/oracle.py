@@ -23,6 +23,7 @@ from ..field import goldilocks as gl
 from ..hash.challenger import Challenger
 from ..ops import fri_kernels as fk
 from ..ops import gf, merkle, ntt
+from ..parallel import context as pctx
 from ..utils.bits import log2_strict, reverse_bits
 from .config import FriParams
 from .proof import FriProof
@@ -31,34 +32,66 @@ from .structure import FriInstanceInfo
 SALT_SIZE = 4
 
 
+def _pad_rows_for_mesh(x: gf.Gf) -> gf.Gf:
+    """Pad the poly axis with zero rows to a multiple of the mesh size
+    (sharding requires even splits; zero polys LDE to zero and are
+    sliced off before leaf hashing, so commitments are unchanged)."""
+    key = pctx.mesh_key()
+    if key is None:
+        return x
+    d = key[0].shape[key[1]]
+    pad = (-x[0].shape[0]) % d
+    if pad:
+        x = (
+            jnp.pad(x[0], ((0, pad), (0, 0))),
+            jnp.pad(x[1], ((0, pad), (0, 0))),
+        )
+    return x
+
+
 @dataclass
 class PolynomialBatch:
-    """polynomials: device coeffs [num_polys, N]; merkle_tree leaves are
-    point-major bit-reversed LDE rows [lde_n, num_polys]."""
+    """polynomials: device coeffs [num_polys, N] (possibly zero-row padded
+    to the mesh size — n_polys is the true count); merkle_tree leaves are
+    point-major bit-reversed LDE rows [lde_n, n_polys]."""
 
     polynomials: gf.Gf
     merkle_tree: merkle.DeviceMerkleTree
     degree_log: int
     rate_bits: int
     blinding: bool
+    n_polys: int
 
     @property
     def num_polys(self) -> int:
+        return self.n_polys
+
+    @property
+    def padded_num_polys(self) -> int:
         return self.polynomials[0].shape[0]
 
     @staticmethod
     def from_values(
         values: gf.Gf, rate_bits: int, blinding: bool, cap_height: int, hasher=None
     ) -> "PolynomialBatch":
+        # Under a mesh, shard the batch over the poly axis first: the IFFT
+        # is then comm-free per shard (oracle.rs:168's per-poly par_iter).
+        num_polys = values[0].shape[0]
+        values = pctx.put(_pad_rows_for_mesh(values), pctx.polys_sharding(pctx.mesh_key()))
         coeffs = ntt.ifft_jit(values)
         return PolynomialBatch.from_coeffs(
-            coeffs, rate_bits, blinding, cap_height, hasher=hasher
+            coeffs, rate_bits, blinding, cap_height, hasher=hasher,
+            num_polys=num_polys,
         )
 
     @staticmethod
     def from_coeffs(
-        coeffs: gf.Gf, rate_bits: int, blinding: bool, cap_height: int, hasher=None
+        coeffs: gf.Gf, rate_bits: int, blinding: bool, cap_height: int, hasher=None,
+        num_polys: Optional[int] = None,
     ) -> "PolynomialBatch":
+        if num_polys is None:
+            num_polys = coeffs[0].shape[0]
+        coeffs = pctx.put(_pad_rows_for_mesh(coeffs), pctx.polys_sharding(pctx.mesh_key()))
         degree = coeffs[0].shape[-1]
         salt = None
         if blinding:
@@ -69,13 +102,17 @@ class PolynomialBatch:
                 0, gl.P, size=(degree << rate_bits, SALT_SIZE), dtype=np.uint64
             )
             salt = gf.from_u64(salt_u64)
-        tree = fk.commit(coeffs, rate_bits, cap_height, salt=salt, hasher=hasher)
+        tree = fk.commit(
+            coeffs, rate_bits, cap_height, salt=salt, hasher=hasher,
+            num_polys=num_polys,
+        )
         return PolynomialBatch(
             polynomials=coeffs,
             merkle_tree=tree,
             degree_log=log2_strict(degree),
             rate_bits=rate_bits,
             blinding=blinding,
+            n_polys=num_polys,
         )
 
     @property
@@ -104,7 +141,7 @@ class PolynomialBatch:
         )
         u0 = gf.to_u64(e0)
         u1 = gf.to_u64(e1)
-        return [(int(a), int(b)) for a, b in zip(u0, u1)]
+        return [(int(a), int(b)) for a, b in zip(u0, u1)][: self.n_polys]
 
 
 @jax.jit
@@ -155,17 +192,16 @@ def eval_commitments_at(
         gf.from_u64(pn[:, 0]),
         gf.from_u64(pn[:, 1]),
     )
-    flat = np.asarray(gf.to_u64((e[0], e[1])))  # [2*sum_m, 2] stacked
+    flat = np.asarray(gf.to_u64((e[0], e[1])))  # [2*sum_m_padded, 2] stacked
     out: List[List[Tuple[int, ...]]] = []
     pos = 0
-    for o in oracles:
-        m = o.num_polys
-        out.append([(int(r[0]), int(r[1])) for r in flat[pos : pos + m]])
-        pos += m
-    for o in oracles:
-        m = o.num_polys
-        out.append([(int(r[0]), int(r[1])) for r in flat[pos : pos + m]])
-        pos += m
+    for _ in range(2):  # zeta block, then g*zeta block
+        for o in oracles:
+            m = o.padded_num_polys
+            out.append(
+                [(int(r[0]), int(r[1])) for r in flat[pos : pos + o.num_polys]]
+            )
+            pos += m
     return out
 
 

@@ -26,24 +26,49 @@ from .poseidon import SPONGE_RATE
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(1,))
-def lde_leaves(coeffs: gf.Gf, rate_bits: int) -> gf.Gf:
+from functools import lru_cache
+
+from ..parallel import context as pctx
+
+
+@lru_cache(maxsize=None)
+def _lde_leaves_jit(mesh_key, rate_bits: int, num_polys: int):
+    """Per-mesh jit: under a mesh the input is poly-axis sharded (per-poly
+    LDE is comm-free, like oracle.rs:193's per-poly rayon loop) and the
+    point-major leaf layout is row-sharded — the single constraint below
+    makes XLA insert the poly-major -> point-major all-to-all. Zero rows
+    padding the batch to the mesh size are sliced off post-transpose
+    (the width axis is unsharded) so leaves hash the true poly count."""
+    rows = pctx.rows_sharding(mesh_key)
+
+    @jax.jit
+    def f(coeffs: gf.Gf) -> gf.Gf:
+        vals = ntt.lde_onto_coset(coeffs, rate_bits)  # [M_padded, lde_n]
+        lo = vals[0].T[:, :num_polys]  # [lde_n, M]
+        hi = vals[1].T[:, :num_polys]
+        idx = reverse_index_bits_perm(lo.shape[0])
+        out = jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
+        return pctx.constrain(out, rows)
+
+    return f
+
+
+def lde_leaves(coeffs: gf.Gf, rate_bits: int, num_polys=None) -> gf.Gf:
     """Coset-LDE all polynomials and lay out point-major Merkle leaves:
     row i = all polys evaluated at domain index rev(i)
     (reference: fri/oracle.rs:193-223 from_coeffs)."""
-    vals = ntt.lde_onto_coset(coeffs, rate_bits)  # [M, lde_n]
-    lo = vals[0].T  # [lde_n, M]
-    hi = vals[1].T
-    idx = reverse_index_bits_perm(lo.shape[0])
-    return jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
+    if num_polys is None:
+        num_polys = coeffs[0].shape[0]
+    return _lde_leaves_jit(pctx.mesh_key(), rate_bits, num_polys)(coeffs)
 
 
 def commit(
-    coeffs: gf.Gf, rate_bits: int, cap_height: int, salt: gf.Gf = None, hasher=None
+    coeffs: gf.Gf, rate_bits: int, cap_height: int, salt: gf.Gf = None, hasher=None,
+    num_polys=None,
 ):
     """salt: optional [lde_n, SALT_SIZE] random columns appended to every
     leaf for zk hiding (oracle.rs:243-264 lde_blinded_values)."""
-    leaves = lde_leaves(coeffs, rate_bits)
+    leaves = lde_leaves(coeffs, rate_bits, num_polys)
     if salt is not None:
         leaves = (
             jnp.concatenate([leaves[0], salt[0]], axis=1),

@@ -87,13 +87,15 @@ def bit_reverse(x: gf.Gf) -> gf.Gf:
     return jnp.take(x[0], idx, axis=-1), jnp.take(x[1], idx, axis=-1)
 
 
-def _butterflies(x: gf.Gf, tables) -> gf.Gf:
-    """All DIT stages, input already bit-reversed. x: [..., N]."""
+def _butterflies(x: gf.Gf, tables, first_stage: int = 0) -> gf.Gf:
+    """DIT stages first_stage..log2(N), input already bit-reversed (or
+    seeded past the first ``first_stage`` stages — see lde_onto_coset).
+    x: [..., N]; tables is indexed by absolute stage number."""
     lo, hi = x
     lead = lo.shape[:-1]
     n = lo.shape[-1]
     n_log = log2_strict(n)
-    for s in range(n_log):
+    for s in range(first_stage, n_log):
         half = 1 << s
         nblocks = n >> (s + 1)
         rlo = lo.reshape(lead + (nblocks, 2, half))
@@ -155,8 +157,35 @@ def lde(coeffs: gf.Gf, rate_bits: int) -> gf.Gf:
 def lde_onto_coset(coeffs: gf.Gf, rate_bits: int,
                    shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gf.Gf:
     """LDE evaluated on the shifted coset — the FRI oracle's commitment values
-    (reference: fri/oracle.rs:193-223 from_coeffs)."""
-    return coset_fft(lde(coeffs, rate_bits), shift)
+    (reference: fri/oracle.rs:193-223 from_coeffs).
+
+    Implements the reference's ``zero_factor`` optimization
+    (field/src/fft.rs:159-192): the first ``rate_bits`` DIT stages of a
+    zero-padded input only copy — after bit-reversal the nonzero entries
+    sit at stride 2^rate_bits and every butterfly partner is zero — so
+    the transform is *seeded* at stage ``rate_bits`` by replicating the
+    bit-reversed n-point array across each 2^rate_bits block
+    (state[i] = scaled_coeffs[rev_n(i >> rate_bits)]), skipping
+    rate_bits/log2(lde_n) of the butterfly work."""
+    if rate_bits == 0:
+        return coset_fft(coeffs, shift)
+    n = coeffs[0].shape[-1]
+    n_log = log2_strict(n)
+    # coset scaling acts on the unpadded coefficients (zeros stay zero)
+    sp = _shift_powers(shift, n)
+    scaled = gf.mul(
+        coeffs,
+        (jnp.broadcast_to(sp[0], coeffs[0].shape),
+         jnp.broadcast_to(sp[1], coeffs[1].shape)),
+    )
+    z = bit_reverse(scaled)  # [..., n], n-bit reversal
+    seed = (
+        jnp.repeat(z[0], 1 << rate_bits, axis=-1),
+        jnp.repeat(z[1], 1 << rate_bits, axis=-1),
+    )
+    return _butterflies(
+        seed, stage_roots(n_log + rate_bits, False), first_stage=rate_bits
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -136,27 +136,54 @@ def six_step_ifft(x: gf.Gf, mesh: Mesh, axis_name: str = "x") -> gf.Gf:
 def sharded_merkle_cap(
     leaves: gf.Gf, mesh: Mesh, cap_height: int, axis_name: str = "x"
 ) -> gf.Gf:
-    """[n, w] leaves row-sharded; per-device subtree hash, then the top
-    log2(d) levels reduce over an all_gather of the shard roots."""
+    """[n, w] leaves row-sharded; per-device subtree hash, then — when the
+    cap is smaller than the shard count — the top log2(d) - cap_height
+    levels reduce over an all_gather of the shard roots (replicated on
+    every device). Bit-identical to the single-device tree's cap for
+    every (cap_height, d) combination (tests/test_parallel_ntt.py)."""
     from ..ops import poseidon as dp
 
     n = leaves[0].shape[0]
     d = mesh.shape[axis_name]
-    assert (1 << cap_height) <= n // d, "cap must not cross into local subtrees"
+    cap_size = 1 << cap_height
+    assert cap_size <= n, "cap taller than the tree"
+    assert n % d == 0 and (n // d) & (n // d - 1) == 0, "shards must be pow-2"
 
-    def local(llo, lhi):
-        digests = dp.hash_leaf((llo, lhi))
-        cur = digests
-        while cur[0].shape[0] > max(1, (1 << cap_height) // d):
-            left = (cur[0][0::2], cur[1][0::2])
-            right = (cur[0][1::2], cur[1][1::2])
-            cur = dp.two_to_one(left, right)
-        return cur
+    def compress(cur):
+        left = (cur[0][0::2], cur[1][0::2])
+        right = (cur[0][1::2], cur[1][1::2])
+        return dp.two_to_one(left, right)
+
+    if cap_size >= d:
+        # every shard owns cap_size/d cap entries — no cross-shard hashing
+        def local(llo, lhi):
+            cur = dp.hash_leaf((llo, lhi))
+            while cur[0].shape[0] > cap_size // d:
+                cur = compress(cur)
+            return cur
+
+        out_specs = (P(axis_name, None), P(axis_name, None))
+    else:
+        # reduce each shard to one root, all_gather the d roots, and
+        # hash the top log2(d) - cap_height levels replicated
+        def local(llo, lhi):
+            cur = dp.hash_leaf((llo, lhi))
+            while cur[0].shape[0] > 1:
+                cur = compress(cur)
+            g = (
+                jax.lax.all_gather(cur[0], axis_name, axis=0, tiled=True),
+                jax.lax.all_gather(cur[1], axis_name, axis=0, tiled=True),
+            )  # [d, 4] replicated
+            while g[0].shape[0] > cap_size:
+                g = compress(g)
+            return g
+
+        out_specs = (P(None, None), P(None, None))
 
     spec = P(axis_name, None)
     shard_fn = jax.jit(
         jax.shard_map(
-            local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs
         )
     )
     sharding = NamedSharding(mesh, spec)

@@ -237,12 +237,47 @@ def _zs_and_partial_products(witness, betas, gammas, prover_data, common) -> np.
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+from functools import lru_cache
+
+from ..parallel import context as pctx
+
+
+@lru_cache(maxsize=None)
+def _natural_order_fn(mesh_key):
+    cols = pctx.cols_sharding(mesh_key)
+
+    @jax.jit
+    def f(leaves):
+        perm = reverse_index_bits_perm(leaves[0].shape[0])
+        lo = jnp.take(leaves[0], perm, axis=0).T
+        hi = jnp.take(leaves[1], perm, axis=0).T
+        # point-axis sharding: quotient constraint eval is pointwise
+        # (prover.rs:720's par_chunks over LDE points)
+        return pctx.constrain((lo, hi), cols)
+
+    return f
+
+
 def _natural_order_jit(leaves):
-    perm = reverse_index_bits_perm(leaves[0].shape[0])
-    lo = jnp.take(leaves[0], perm, axis=0).T
-    hi = jnp.take(leaves[1], perm, axis=0).T
-    return lo, hi
+    return _natural_order_fn(pctx.mesh_key())(leaves)
+
+
+@lru_cache(maxsize=None)
+def _quotient_chunks_fn(mesh_key, num_chunks: int, n: int):
+    rep = pctx.replicated_sharding(mesh_key)
+    polys = pctx.polys_sharding(mesh_key)
+
+    @jax.jit
+    def f(q):
+        # replicate before the coset-IFFT: butterflies over a sharded
+        # domain axis would shuffle every stage (a distributed six-step
+        # IFFT replaces this for domains that exceed one chip)
+        q = pctx.constrain(q, rep)
+        coeffs = ntt.coset_ifft(q)
+        chunks = (coeffs[0].reshape(num_chunks, n), coeffs[1].reshape(num_chunks, n))
+        return pctx.constrain(chunks, polys)
+
+    return f
 
 
 def _natural_order_values(batch: fo.PolynomialBatch) -> gf.Gf:
@@ -319,13 +354,14 @@ def _compute_quotient_polys(
                     common, li, d4[1], d4[3], num_lut_slots * rows_cnt
                 )
         lut_evals_arr = gf.from_u64(ev)
+    pts_sharding = pctx.rows_sharding(pctx.mesh_key())
     q_lo, q_hi = qfn(
         cs_nat,
         wires_nat,
         zs_pp_nat,
-        gf.from_u64(shifted_xs),
-        gf.from_u64(l0),
-        gf.from_u64(zh_inv),
+        pctx.put(gf.from_u64(shifted_xs), pts_sharding),
+        pctx.put(gf.from_u64(l0), pts_sharding),
+        pctx.put(gf.from_u64(zh_inv), pts_sharding),
         pair_arr(betas),
         pair_arr(gammas),
         pair_arr(alphas),
@@ -334,11 +370,10 @@ def _compute_quotient_polys(
         lut_evals=lut_evals_arr,
     )
     # coset-IFFT back to coefficients, split into degree-n chunks
-    coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
     nc = config.num_challenges
-    chunks_lo = coeffs[0].reshape(nc * common.quotient_degree_factor, n)
-    chunks_hi = coeffs[1].reshape(nc * common.quotient_degree_factor, n)
-    return chunks_lo, chunks_hi
+    return _quotient_chunks_fn(
+        pctx.mesh_key(), nc * common.quotient_degree_factor, n
+    )((q_lo, q_hi))
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +437,23 @@ def compute_all_lookup_polys(witness, deltas, prover_data, common) -> np.ndarray
     return np.array(out, dtype=np.uint64)
 
 
+def _suffix_sum_mod(a: np.ndarray) -> np.ndarray:
+    """out[i] = sum_{j >= i} a[j] mod p, by log-doubling (no Python rows)."""
+    out = a.copy()
+    shift = 1
+    n = out.shape[0]
+    while shift < n:
+        out[:-shift] = gl.np_add(out[:-shift], out[shift:])
+        shift <<= 1
+    return out
+
+
 def _compute_lookup_polys(witness, deltas4, prover_data, common):
+    """RE + partial-SLDC columns, fully vectorized: per block, slot
+    combinations / batched inverses are numpy matrix ops and the
+    row-sequential recurrences (RE's affine chain, the running partial
+    sum) become log-depth suffix scans — the reference's per-row rayon
+    loop (prover.rs:489-637) without O(n) interpreter work."""
     from ..gates.lookup import LookupGate, LookupTableGate
 
     degree = common.degree
@@ -412,67 +463,89 @@ def _compute_lookup_polys(witness, deltas4, prover_data, common):
     num_partial = -(-num_lu_slots // lu_degree)
     num_lut_slots = config.num_routed_wires // 3
     lut_degree = -(-num_lut_slots // num_partial)
-    dA, dB, dAlpha, dDelta = deltas4
+    dA, dB, dAlpha, dDelta = (np.uint64(d) for d in deltas4)
 
-    polys = [[0] * degree for _ in range(num_partial + 1)]
-
-    def wire(row, col):
-        return int(witness.wire_values[col][row])
+    polys = np.zeros((num_partial + 1, degree), dtype=np.uint64)
+    wires = witness.wire_values  # [num_wires, n] u64
 
     for (last_lu, last_lut, first_lut) in prover_data.lookup_rows:
-        for row in range(first_lut, last_lut - 1, -1):
-            looked = [
-                gl.gadd(
-                    wire(row, LookupTableGate.wire_ith_looked_inp(s)),
-                    gl.gmul(dA, wire(row, LookupTableGate.wire_ith_looked_out(s))),
-                )
-                for s in range(num_lut_slots)
-            ]
-            inv = [gl.ginv(gl.gsub(dAlpha, c)) for c in looked]
-            combos = [
-                gl.gadd(
-                    wire(row, LookupTableGate.wire_ith_looked_inp(s)),
-                    gl.gmul(dB, wire(row, LookupTableGate.wire_ith_looked_out(s))),
-                )
-                for s in range(num_lut_slots)
-            ]
-            new_re = polys[0][row + 1] if row + 1 < degree else 0
-            for elt in combos:
-                new_re = gl.gadd(gl.gmul(new_re, dDelta), elt)
-            polys[0][row] = new_re
-            for slot in range(num_partial):
-                prev = (
-                    polys[slot][row]
-                    if slot != 0
-                    else (polys[num_partial][row + 1] if row + 1 < degree else 0)
-                )
-                acc = prev
-                for s in range(slot * lut_degree, min((slot + 1) * lut_degree, num_lut_slots)):
-                    acc = gl.gadd(
-                        acc,
-                        gl.gmul(
-                            wire(row, LookupTableGate.wire_ith_multiplicity(s)), inv[s]
-                        ),
-                    )
-                polys[slot + 1][row] = acc
-        for row in range(last_lut - 1, last_lu - 1, -1):
-            looking = [
-                gl.gadd(
-                    wire(row, LookupGate.wire_ith_looking_inp(s)),
-                    gl.gmul(dA, wire(row, LookupGate.wire_ith_looking_out(s))),
-                )
-                for s in range(num_lu_slots)
-            ]
-            inv = [gl.ginv(gl.gsub(dAlpha, c)) for c in looking]
-            for slot in range(num_partial):
-                prev = (
-                    polys[num_partial][row + 1]
-                    if slot == 0
-                    else polys[slot][row]
-                )
-                ssum = 0
-                for s in range(slot * lu_degree, min((slot + 1) * lu_degree, num_lu_slots)):
-                    ssum = gl.gadd(ssum, inv[s])
-                polys[slot + 1][row] = gl.gsub(prev, ssum)
+        # --- LUT rows [last_lut, first_lut] ---
+        lut_rows = np.arange(last_lut, first_lut + 1)
+        L = lut_rows.shape[0]
+        inp_cols = [LookupTableGate.wire_ith_looked_inp(s) for s in range(num_lut_slots)]
+        out_cols = [LookupTableGate.wire_ith_looked_out(s) for s in range(num_lut_slots)]
+        mult_cols = [LookupTableGate.wire_ith_multiplicity(s) for s in range(num_lut_slots)]
+        inp = wires[inp_cols][:, lut_rows].T  # [L, S]
+        out = wires[out_cols][:, lut_rows].T
+        mult = wires[mult_cols][:, lut_rows].T
+        looked = gl.np_add(inp, gl.np_mul(dA, out))
+        inv = gl.np_batch_inverse(gl.np_sub(dAlpha, looked))
+        combos = gl.np_add(inp, gl.np_mul(dB, out))
 
-    return polys
+        # RE[r] = a_r + c * RE[r+1] with c = delta^S and
+        # a_r = sum_j combos[r, j] * delta^(S-1-j): affine suffix scan
+        # realized as c^-i * suffix_sum(a_i * c^i)
+        dpow = gl.np_powers(int(dDelta), num_lut_slots + 1)  # delta^0..delta^S
+        a = np.zeros(L, dtype=np.uint64)
+        for j in range(num_lut_slots):
+            a = gl.np_add(a, gl.np_mul(combos[:, j], dpow[num_lut_slots - 1 - j]))
+        c = int(dpow[num_lut_slots])
+        c_pows = gl.np_powers(c, L)
+        cinv_pows = gl.np_powers(gl.ginv(c), L)
+        re = gl.np_mul(cinv_pows, _suffix_sum_mod(gl.np_mul(a, c_pows)))
+        polys[0][lut_rows] = re
+
+        # row totals and within-row chunk prefix sums of mult * inv
+        terms = gl.np_mul(mult, inv)  # [L, S]
+        chunk_sums = np.zeros((L, num_partial), dtype=np.uint64)
+        for k in range(num_partial):
+            lo, hi = k * lut_degree, min((k + 1) * lut_degree, num_lut_slots)
+            s = np.zeros(L, dtype=np.uint64)
+            for j in range(lo, hi):
+                s = gl.np_add(s, terms[:, j])
+            chunk_sums[:, k] = s
+        lut_prefix = chunk_sums.copy()
+        for k in range(1, num_partial):
+            lut_prefix[:, k] = gl.np_add(lut_prefix[:, k], lut_prefix[:, k - 1])
+        lut_row_total = lut_prefix[:, -1]
+
+        # --- LU rows [last_lu, last_lut-1] ---
+        lu_rows = np.arange(last_lu, last_lut)
+        M = lu_rows.shape[0]
+        if M:
+            li_cols = [LookupGate.wire_ith_looking_inp(s) for s in range(num_lu_slots)]
+            lo_cols = [LookupGate.wire_ith_looking_out(s) for s in range(num_lu_slots)]
+            linp = wires[li_cols][:, lu_rows].T
+            lout = wires[lo_cols][:, lu_rows].T
+            looking = gl.np_add(linp, gl.np_mul(dA, lout))
+            linv = gl.np_batch_inverse(gl.np_sub(dAlpha, looking))
+            lu_chunks = np.zeros((M, num_partial), dtype=np.uint64)
+            for k in range(num_partial):
+                lo, hi = k * lu_degree, min((k + 1) * lu_degree, num_lu_slots)
+                s = np.zeros(M, dtype=np.uint64)
+                for j in range(lo, hi):
+                    s = gl.np_add(s, linv[:, j])
+                lu_chunks[:, k] = s
+            lu_prefix = lu_chunks.copy()
+            for k in range(1, num_partial):
+                lu_prefix[:, k] = gl.np_add(lu_prefix[:, k], lu_prefix[:, k - 1])
+            lu_row_total = lu_prefix[:, -1]
+        else:
+            lu_prefix = np.zeros((0, num_partial), dtype=np.uint64)
+            lu_row_total = np.zeros(0, dtype=np.uint64)
+
+        # carry[r] = polys[num_partial][r]: suffix sum over the whole block
+        # of +lut_row_total (lut rows) / -lu_row_total (lu rows)
+        block_rows = np.arange(last_lu, first_lut + 1)
+        delta_m = np.concatenate([gl.np_sub(np.uint64(0), lu_row_total), lut_row_total])
+        carry = _suffix_sum_mod(delta_m)  # indexed by block-local row
+        carry_next = np.zeros_like(carry)
+        carry_next[:-1] = carry[1:]  # carry[r+1]; top row's next is 0
+
+        # partials: polys[k][r] = carry[r+1] +/- chunk prefix sums
+        for k in range(num_partial):
+            if M:
+                polys[k + 1][lu_rows] = gl.np_sub(carry_next[:M], lu_prefix[:, k])
+            polys[k + 1][lut_rows] = gl.np_add(carry_next[M:], lut_prefix[:, k])
+
+    return [polys[i] for i in range(num_partial + 1)]

@@ -802,6 +802,8 @@ def prover_data_to_bytes(prover_only, common, generator_serializer=None) -> byte
     from ..ops import gf as _gf
 
     coeffs = _np.asarray(_gf.to_u64(prover_only.constants_sigmas_commitment.polynomials))
+    # drop any mesh zero-row padding: the wire format carries the true count
+    coeffs = coeffs[: prover_only.constants_sigmas_commitment.num_polys]
     buf.write_usize(coeffs.shape[0])
     buf.write_usize(coeffs.shape[1])
     for row in coeffs:

@@ -38,11 +38,24 @@ def test_six_step_ifft_roundtrip(mesh):
     assert np.array_equal(back, x)
 
 
-def test_sharded_merkle_cap_matches_device_tree(mesh):
+@pytest.mark.parametrize("cap_height", [0, 1, 2, 3])
+def test_sharded_merkle_cap_matches_device_tree(mesh, cap_height):
+    """Every (cap_height, d) combination — including cap < log2(d), which
+    crosses shard boundaries and reduces over an all_gather."""
     rng = np.random.default_rng(2)
     leaves = rng.integers(0, gl.P, size=(1 << 7, 4), dtype=np.uint64)
     lg = gf.from_u64(leaves)
-    cap_height = 3
     want = merkle.build_merkle_tree(lg, cap_height).cap_u64()
     got = np.asarray(gf.to_u64(sharded_merkle_cap(lg, mesh, cap_height)))
+    assert np.array_equal(got.reshape(-1, 4), want)
+
+
+@pytest.mark.slow
+def test_sharded_merkle_cap_large(mesh):
+    """Sharding-is-load-bearing size: 2^16 leaves, multi-poly rows."""
+    rng = np.random.default_rng(3)
+    leaves = rng.integers(0, gl.P, size=(1 << 16, 8), dtype=np.uint64)
+    lg = gf.from_u64(leaves)
+    want = merkle.build_merkle_tree(lg, 4).cap_u64()
+    got = np.asarray(gf.to_u64(sharded_merkle_cap(lg, mesh, 4)))
     assert np.array_equal(got.reshape(-1, 4), want)
