@@ -1,0 +1,224 @@
+"""Kernel benchmark suite with speed-of-light accounting.
+
+Reference bench coverage: plonky2/benches/{ffts,merkle,field_arithmetic,
+hashing}.rs, plus the BASELINE.json north-star configs (NTT 2^16-2^24
+per chip, Poseidon perms/s/chip, FRI fold, Merkle 2^20 leaves).
+
+Speed-of-light models (documented per kernel, derived from the chip
+spec, not vibes):
+
+* Chip spec (TPU v5e, one chip): HBM bandwidth 819 GB/s; TensorCore
+  clock ~1.5 GHz (from 1.97e14 bf16 FLOP/s / (4 MXUs * 128*128*2));
+  VPU lanes 8*128 with 4 ALUs -> ~6.1e12 u32 ops/s peak.
+* A Goldilocks element is a (lo, hi) u32 limb pair = 8 bytes.
+* NTT (bandwidth-bound): a VMEM-blocked four-step transform reads and
+  writes the whole array twice: SoL bytes = 2 passes * 2 (rd+wr) * 8B
+  * N. The naive per-stage bound (what un-fused XLA does) is
+  log2(N) * 2 * 8B * N; both are reported.
+* FRI fold (bandwidth-bound): one read of the [N, 2] extension array +
+  one write of [N/arity, 2]: SoL bytes = (1 + 1/arity) * 16B * N.
+* Poseidon (compute-bound): per permutation, counted from the kernel
+  (ops/poseidon.py): 8 full rounds * (12 sboxes * 3 gmul + MDS
+  shift-accumulate) + 22 partial rounds * (1 sbox + sparse matrix).
+  A 32x32->64 gmul costs ~10 u32 mul/add VPU ops (4 partial products
+  + carries) plus ~14 reduction ops; we charge GMUL_OPS=24 u32 ops
+  and GADD_OPS=6. Totals below; perms/s SoL = VPU_OPS / ops_per_perm.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List
+
+import numpy as np
+
+HBM_BW = 819e9  # bytes/s, v5e
+VPU_OPS = 6.1e12  # u32 ops/s, v5e estimate (8*128 lanes * 4 ALUs * 1.5GHz)
+ELT = 8  # bytes per Goldilocks element (u32 lo+hi)
+
+# Poseidon op-count model (see module docstring)
+GMUL_OPS = 24
+GADD_OPS = 6
+# per permutation: 30 rounds of constant-add (12 gadd) +
+# 8 full rounds: 12 sboxes (3 gmul each) + MDS circulant (12 elts * 12
+#   shift-adds ~ 12*12 gadd-equivalents at 64-bit, charge 12*12*GADD)
+# 22 partial rounds: 1 sbox (3 gmul) + fast partial layer (~2*12 gmul)
+POSEIDON_OPS_PER_PERM = (
+    30 * 12 * GADD_OPS
+    + 8 * (12 * 3 * GMUL_OPS + 12 * 12 * GADD_OPS)
+    + 22 * (3 * GMUL_OPS + 2 * 12 * GMUL_OPS)
+)  # ~ 30k u32 ops
+
+
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    """Median wall seconds of fn(*args) with block_until_ready."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_ntt(log_sizes=(16, 20, 24), batch: int = 1) -> List[Dict]:
+    """fft over [batch, 2^k] (reference: plonky2/benches/ffts.rs:9-45)."""
+    from plonky2_tpu.ops import gf, ntt
+
+    out = []
+    rng = np.random.default_rng(0)
+    for k in log_sizes:
+        n = 1 << k
+        x = gf.from_u64(rng.integers(0, (1 << 63), size=(batch, n), dtype=np.uint64))
+        t = _time_fn(ntt.fft_jit, x)
+        total = batch * n
+        sol_blocked = 2 * 2 * ELT * total / HBM_BW
+        sol_staged = k * 2 * ELT * total / HBM_BW
+        out.append(
+            {
+                "metric": f"ntt_2^{k}" + (f"_x{batch}" if batch > 1 else ""),
+                "value": t * 1e3,
+                "unit": "ms",
+                "elems_per_s": total / t,
+                "achieved_gbs": k * 2 * ELT * total / t / 1e9,
+                "sol_ms_blocked_2pass": sol_blocked * 1e3,
+                "sol_ms_per_stage": sol_staged * 1e3,
+                "pct_sol_blocked": 100 * sol_blocked / t,
+                "pct_sol_per_stage": 100 * sol_staged / t,
+            }
+        )
+    return out
+
+
+def bench_poseidon(log_batch: int = 20) -> List[Dict]:
+    """Batched width-12 permutations (reference: benches/hashing.rs)."""
+    from plonky2_tpu.ops import gf
+    from plonky2_tpu.ops import poseidon as dp
+    import jax
+
+    b = 1 << log_batch
+    rng = np.random.default_rng(1)
+    st = gf.from_u64(rng.integers(0, (1 << 63), size=(b, 12), dtype=np.uint64))
+    permute = jax.jit(dp.permute)
+    t = _time_fn(permute, st)
+    perms_per_s = b / t
+    sol_perms = VPU_OPS / POSEIDON_OPS_PER_PERM
+    # bandwidth bound: read+write 12 elts
+    bw_bound = HBM_BW / (2 * 12 * ELT)
+    return [
+        {
+            "metric": f"poseidon_perms_2^{log_batch}",
+            "value": perms_per_s / 1e6,
+            "unit": "Mperms/s",
+            "time_ms": t * 1e3,
+            "sol_mperms_compute": sol_perms / 1e6,
+            "sol_mperms_bandwidth": bw_bound / 1e6,
+            "pct_sol_compute": 100 * perms_per_s / sol_perms,
+        }
+    ]
+
+
+def bench_merkle(log_leaves: int = 20, leaf_width: int = 135) -> List[Dict]:
+    """Full tree build over [2^k, w] leaves (reference: benches/merkle.rs,
+    scaled to 2^20 per BASELINE)."""
+    from plonky2_tpu.ops import gf, merkle
+
+    n = 1 << log_leaves
+    rng = np.random.default_rng(2)
+    leaves = gf.from_u64(
+        rng.integers(0, (1 << 63), size=(n, leaf_width), dtype=np.uint64)
+    )
+    t = _time_fn(lambda lv: merkle.build_merkle_tree(lv, 4).cap, leaves)
+    # perm count: leaf sponge ceil(w/8) per leaf + ~n internal two_to_one
+    perms = n * (-(-leaf_width // 8)) + n
+    perms_per_s = perms / t
+    sol_perms = VPU_OPS / POSEIDON_OPS_PER_PERM
+    return [
+        {
+            "metric": f"merkle_2^{log_leaves}x{leaf_width}",
+            "value": t * 1e3,
+            "unit": "ms",
+            "leaves_per_s": n / t,
+            "perms_per_s": perms_per_s,
+            "pct_sol_compute": 100 * perms_per_s / sol_perms,
+        }
+    ]
+
+
+def bench_fri_fold(log_n: int = 22, arity_bits: int = 4) -> List[Dict]:
+    """Arity-16 coefficient fold on a [2^k, 2] extension poly
+    (fri/prover.rs:110-121 equivalent)."""
+    from plonky2_tpu.ops import fri_kernels as fk
+    from plonky2_tpu.ops import gf
+
+    n = 1 << log_n
+    rng = np.random.default_rng(3)
+    coeffs = gf.from_u64(rng.integers(0, (1 << 63), size=(n, 2), dtype=np.uint64))
+    beta_pows = gf.from_u64(
+        rng.integers(0, (1 << 63), size=(1 << arity_bits, 2), dtype=np.uint64)
+    )
+    t = _time_fn(fk.fold_coeffs, coeffs, beta_pows, arity_bits)
+    bytes_moved = (1 + 1 / (1 << arity_bits)) * 2 * ELT * n
+    sol = bytes_moved / HBM_BW
+    return [
+        {
+            "metric": f"fri_fold_2^{log_n}_arity{1 << arity_bits}",
+            "value": t * 1e3,
+            "unit": "ms",
+            "achieved_gbs": bytes_moved / t / 1e9,
+            "sol_ms": sol * 1e3,
+            "pct_sol": 100 * sol / t,
+        }
+    ]
+
+
+def bench_lde_commit(log_n: int = 16, num_polys: int = 143, rate_bits: int = 3) -> List[Dict]:
+    """The whole oracle commit: [M, 2^k] coeffs -> LDE + transpose +
+    Merkle (fri/oracle.rs:193-223) — the prover's dominant phase."""
+    from plonky2_tpu.ops import fri_kernels as fk
+    from plonky2_tpu.ops import gf
+
+    n = 1 << log_n
+    rng = np.random.default_rng(4)
+    coeffs = gf.from_u64(
+        rng.integers(0, (1 << 63), size=(num_polys, n), dtype=np.uint64)
+    )
+    t = _time_fn(lambda c: fk.commit(c, rate_bits, 4).cap, coeffs)
+    lde_n = n << rate_bits
+    perms = lde_n * (-(-num_polys // 8)) + lde_n
+    return [
+        {
+            "metric": f"oracle_commit_{num_polys}x2^{log_n}_rate{1 << rate_bits}",
+            "value": t * 1e3,
+            "unit": "ms",
+            "perms_per_s": perms / t,
+            "elems_per_s": num_polys * lde_n / t,
+        }
+    ]
+
+
+def run_kernel_suite() -> List[Dict]:
+    results = []
+    results += bench_ntt((16, 20), batch=1)
+    results += bench_ntt((16,), batch=64)
+    results += bench_ntt((24,), batch=1)
+    results += bench_poseidon(20)
+    results += bench_merkle(20, 135)
+    results += bench_fri_fold(22, 4)
+    results += bench_lde_commit(16, 143, 3)
+    return results
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("backend:", jax.devices())
+    res = run_kernel_suite()
+    for r in res:
+        print(json.dumps(r))

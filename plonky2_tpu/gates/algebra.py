@@ -17,11 +17,22 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence
 
-import jax.numpy as jnp
-
 from ..field import extension as ge
 from ..field.goldilocks import P
-from ..ops import gf
+
+# jax (via ops.gf) is imported lazily by DeviceBatchAlgebra so that the
+# host-only instantiations (HostExtAlgebra — the standalone verifier's
+# path) never pull jax (reference capability: the no_std verifier crate,
+# verifier/src/lib.rs:1-20)
+gf = None
+
+
+def _load_gf():
+    global gf
+    if gf is None:
+        from ..ops import gf as _gf
+
+        gf = _gf
 
 
 class HostExtAlgebra:
@@ -65,6 +76,7 @@ class DeviceBatchAlgebra:
     """Elements are (lo, hi) u32 arrays of shape [B] (base field)."""
 
     def __init__(self, batch_size: int):
+        _load_gf()
         self.b = batch_size
 
     def const(self, c: int):
