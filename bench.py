@@ -1,21 +1,91 @@
-"""Driver benchmark: end-to-end fibonacci proof generation on one chip.
+"""Driver benchmark.
 
-Prints one JSON line: metric/value/unit/vs_baseline. Baseline: the
-reference whitepaper's ~300 ms recursive-proof generation on a 2021
-laptop (BASELINE.md); we report the e2e fibonacci prove wall time
-against the same 300 ms yardstick. The remaining gap is transcript
-round-trip latency over the remote TPU tunnel (each Fiat-Shamir
-cap-observe/challenge pair is a device sync); a fully device-resident
-challenger that fuses the FRI commit phase into one program is the
-next step (round-3 backlog).
+Prints ONE JSON line: metric/value/unit/vs_baseline (headline = e2e
+fibonacci proof wall time vs the reference whitepaper's ~300 ms
+recursive-proof yardstick, BASELINE.md), with the full benchmark suite
+attached under "extra":
+
+* large_circuit_2^16: prove a 2^16-gate circuit (the size class where
+  TPU throughput, not dispatch latency, dominates)
+* stark_2^22: FibonacciStark over a 2^22-row trace (BASELINE north-star
+  size class)
+* kernels: the benches/kernels.py suite — NTT 2^16/2^20/2^24, Poseidon
+  perms/s, Merkle 2^20x135, FRI fold 2^22, oracle commit — each with a
+  speed-of-light model and %SoL (reference plonky2/benches/*.rs).
+
+BENCH_FAST=1 runs only the headline metric.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_tpu")
+
+
+def _bench_fibonacci():
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+
+    data, pw = build_fibonacci(public_io=False)
+    proof = data.prove(pw)  # warmup (compiles cached)
+    data.verify(proof)
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        proof = data.prove(pw)
+    return (time.perf_counter() - t0) / runs
+
+
+def _bench_large_circuit(log2_size: int = 16):
+    from plonky2_tpu.gates.basic import NoopGate
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.plonk.prover import prove
+
+    config = CircuitConfig.standard_recursion_config()
+    t_build0 = time.perf_counter()
+    b = CircuitBuilder(config)
+    for _ in range((1 << (log2_size - 1)) + 1):
+        b.add_gate(NoopGate(), [])
+    data = b.build()
+    build_s = time.perf_counter() - t_build0
+    data.verify(prove(data.prover_only, data.common, PartialWitness()))  # warmup
+    t0 = time.perf_counter()
+    pwp = prove(data.prover_only, data.common, PartialWitness())
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"plonk_prove_2^{log2_size}_gates",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "build_s": round(build_s, 1),
+        "degree_bits": data.common.degree_bits,
+    }
+
+
+def _bench_stark(log2_rows: int = 22):
+    from plonky2_tpu.stark.config import StarkConfig
+    from plonky2_tpu.stark.fixtures import FibonacciStark, fibonacci_res
+    from plonky2_tpu.stark.prover import prove as sprove
+    from plonky2_tpu.stark.verifier import verify_stark_proof
+
+    n = 1 << log2_rows
+    stark = FibonacciStark(n)
+    config = StarkConfig.standard_fast_config()
+    trace = stark.generate_trace(0, 1)
+    pis = [0, 1, fibonacci_res(n, 0, 1)]
+    proof = sprove(stark, config, trace, pis)  # warmup
+    t0 = time.perf_counter()
+    proof = sprove(stark, config, trace, pis)
+    dt = time.perf_counter() - t0
+    verify_stark_proof(stark, proof, config, log2_rows)
+    return {
+        "metric": f"fibonacci_stark_2^{log2_rows}_rows",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+    }
 
 
 def main():
@@ -25,21 +95,30 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from plonky2_tpu.models.fibonacci import build_fibonacci
-
-    data, pw = build_fibonacci(public_io=False)
-
-    # warmup (compiles cached)
-    proof = data.prove(pw)
-    data.verify(proof)
-
-    runs = 3
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        proof = data.prove(pw)
-    dt = (time.perf_counter() - t0) / runs
-
+    dt = _bench_fibonacci()
     baseline_s = 0.300  # whitepaper: recursive proof on 2021 laptop
+
+    extra = {}
+    if not os.environ.get("BENCH_FAST"):
+        large_log2 = int(os.environ.get("BENCH_LARGE_LOG2", "16"))
+        stark_log2 = int(os.environ.get("BENCH_STARK_LOG2", "22"))
+        for name, fn in (
+            ("large_circuit", lambda: _bench_large_circuit(large_log2)),
+            ("stark", lambda: _bench_stark(stark_log2)),
+        ):
+            try:
+                extra[name] = fn()
+            except Exception:
+                extra[name] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
+                traceback.print_exc(file=sys.stderr)
+        try:
+            from benches.kernels import run_kernel_suite
+
+            extra["kernels"] = run_kernel_suite()
+        except Exception:
+            extra["kernels"] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
+            traceback.print_exc(file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -47,6 +126,7 @@ def main():
                 "value": round(dt * 1000.0, 3),
                 "unit": "ms",
                 "vs_baseline": round(baseline_s / dt, 4),
+                "extra": extra,
             }
         )
     )

@@ -243,12 +243,19 @@ from ..parallel import context as pctx
 
 
 @lru_cache(maxsize=None)
-def _natural_order_fn(mesh_key):
+def _natural_order_fn(mesh_key, step: int = 1):
     cols = pctx.cols_sharding(mesh_key)
 
     @jax.jit
     def f(leaves):
         perm = reverse_index_bits_perm(leaves[0].shape[0])
+        if step != 1:
+            # strided sub-LDE: natural points shift*w^(i*step) form the
+            # lower-rate coset the quotient kernel consumes when
+            # rate_bits > quotient_degree_bits (the reference's
+            # get_lde_values(index, step), fri/oracle.rs:286-292) —
+            # gathering every step-th natural row skips the rest entirely
+            perm = perm[::step]
         lo = jnp.take(leaves[0], perm, axis=0).T
         hi = jnp.take(leaves[1], perm, axis=0).T
         # point-axis sharding: quotient constraint eval is pointwise
@@ -258,8 +265,8 @@ def _natural_order_fn(mesh_key):
     return f
 
 
-def _natural_order_jit(leaves):
-    return _natural_order_fn(pctx.mesh_key())(leaves)
+def _natural_order_jit(leaves, step: int = 1):
+    return _natural_order_fn(pctx.mesh_key(), step)(leaves)
 
 
 @lru_cache(maxsize=None)
@@ -280,10 +287,12 @@ def _quotient_chunks_fn(mesh_key, num_chunks: int, n: int):
     return f
 
 
-def _natural_order_values(batch: fo.PolynomialBatch) -> gf.Gf:
+def _natural_order_values(batch: fo.PolynomialBatch, step: int = 1) -> gf.Gf:
     """Leaves are bit-reversed point-major [lde_n, M]; return poly-major
-    natural order [M, lde_n], stripping any zk salt columns."""
-    nat = _natural_order_jit(batch.merkle_tree.leaves)
+    natural order [M, lde_n // step], stripping any zk salt columns.
+    step > 1 samples the committed high-rate LDE down to the lower-rate
+    coset (fri/oracle.rs:286-292 get_lde_values with step)."""
+    nat = _natural_order_jit(batch.merkle_tree.leaves, step)
     if batch.salt_size:
         nat = (nat[0][: -batch.salt_size], nat[1][: -batch.salt_size])
     return nat
@@ -304,15 +313,15 @@ def _compute_quotient_polys(
     qdb = common.quotient_degree_factor.bit_length() - 1
     assert (1 << qdb) == common.quotient_degree_factor
     assert qdb <= config.fri_config.rate_bits
-    assert qdb == config.fri_config.rate_bits, (
-        "strided sub-LDE sampling (rate > quotient degree) lands later"
-    )
+    # rate_bits > qdb: the committed LDE is higher-rate than the quotient
+    # needs — sample it at a stride instead of recomputing
+    step = 1 << (config.fri_config.rate_bits - qdb)
     n_bits = common.degree_bits
-    lde_n = common.lde_size
+    q_lde_n = common.degree << qdb  # quotient-domain size (<= lde_size)
     n = common.degree
 
     # host precomputations over the coset
-    pts = gl.two_adic_subgroup(n_bits + qdb)  # [lde_n]
+    pts = gl.two_adic_subgroup(n_bits + qdb)  # [q_lde_n]
     shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
     shifted_xs = gl.np_mul(shift, pts)
     # Z_H(shift*w^i) = shift^n * (w^i)^n - 1, periodic with period 2^qdb
@@ -320,7 +329,7 @@ def _compute_quotient_polys(
     zh_period = gl.np_sub(
         gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(qdb)), np.uint64(1)
     )
-    zh = np.tile(zh_period, lde_n // (1 << qdb))
+    zh = np.tile(zh_period, q_lde_n // (1 << qdb))
     # NOTE subtlety: evals indexed by i use subgroup(qdb) in *power* order of
     # w^(n*i) = v^i where v = primitive 2^qdb-th root; i % 2^qdb cycles ✓
     zh_inv = gl.np_batch_inverse(zh)
@@ -331,9 +340,9 @@ def _compute_quotient_polys(
         ),
     )
 
-    cs_nat = _natural_order_values(prover_data.constants_sigmas_commitment)
-    wires_nat = _natural_order_values(wires_commitment)
-    zs_pp_nat = _natural_order_values(zs_pp_commitment)
+    cs_nat = _natural_order_values(prover_data.constants_sigmas_commitment, step)
+    wires_nat = _natural_order_values(wires_commitment, step)
+    zs_pp_nat = _natural_order_values(zs_pp_commitment, step)
 
     def pair_arr(vals: List[int]):
         a = np.array(vals, dtype=np.uint64)

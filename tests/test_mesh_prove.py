@@ -1,0 +1,72 @@
+"""Multi-chip proving: prove() under an 8-device mesh is bit-identical
+to the single-chip prover.
+
+All prover arithmetic is exact (integer mod p) and the transcript is
+deterministic for non-blinding circuits, so the sharded program must
+reproduce the single-chip proof byte for byte — the strongest possible
+equivalence test for the mesh wiring (the TPU analogue of the
+reference's rayon parallelism being observationally pure,
+plonky2/src/fri/oracle.rs:168-223, plonk/prover.rs:640-864).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from plonky2_tpu.parallel import context as pctx
+from plonky2_tpu.plonk.prover import prove
+from plonky2_tpu.plonk.verifier import verify
+from plonky2_tpu.utils.serialization import proof_to_bytes
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return pctx.make_prover_mesh(8)
+
+
+def _prove_bytes(data, pw):
+    pwp = prove(data.prover_only, data.common, pw)
+    verify(pwp, data.verifier_only, data.common)
+    return proof_to_bytes(pwp, data.common)
+
+
+def test_fibonacci_mesh_prove_bit_identical(mesh):
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+
+    data, pw = build_fibonacci(public_io=True)
+    want = _prove_bytes(data, pw)
+    with pctx.prover_mesh(mesh):
+        got = _prove_bytes(data, pw)
+    assert got == want
+
+
+def test_mesh_prove_arithmetic_circuit(mesh):
+    """A circuit with actual arithmetic content (not just noops) so the
+    quotient kernel's domain sharding is exercised with live constraints."""
+    from plonky2_tpu.models.examples import build_factorial
+
+    data, pw = build_factorial(20)
+    want = _prove_bytes(data, pw)
+    with pctx.prover_mesh(mesh):
+        got = _prove_bytes(data, pw)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_mesh_prove_degree_2_14(mesh):
+    """Sharding-is-load-bearing size: a 2^14-gate circuit (VERDICT #1's
+    'done' criterion). NTTs at 2^17 points, Merkle trees over 2^17 rows."""
+    from plonky2_tpu.models.bench_recursion import dummy_proof
+    from plonky2_tpu.plonk.config import CircuitConfig
+
+    config = CircuitConfig.standard_recursion_config()
+    with pctx.prover_mesh(mesh):
+        pwp, vd, common = dummy_proof(config, 14)
+    assert common.degree_bits == 14
+    # cross-check against the single-chip prover on the same witness
+    # (dummy_proof already verified the mesh proof internally)
+    from plonky2_tpu.models.bench_recursion import dummy_proof as _dp
+
+    pwp1, _, common1 = _dp(config, 14)
+    assert proof_to_bytes(pwp, common) == proof_to_bytes(pwp1, common1)

@@ -22,3 +22,25 @@ def test_fibonacci_tamper_detection():
     proof.proof.openings.wires[0] = (w0[0] ^ 1, w0[1])
     with pytest.raises(Exception):
         data.verify(proof)
+
+
+def test_high_rate_config_strided_lde():
+    """rate_bits > quotient_degree_bits: the quotient kernel samples the
+    committed high-rate LDE at a stride instead of recomputing
+    (fri/oracle.rs:286-292 get_lde_values(index, step))."""
+    from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
+    from plonky2_tpu.plonk.config import CircuitConfig
+
+    config = CircuitConfig(
+        fri_config=FriConfig(
+            rate_bits=4,
+            cap_height=4,
+            proof_of_work_bits=16,
+            reduction_strategy=FriReductionStrategy.ConstantArityBits(4, 5),
+            num_query_rounds=21,
+        )
+    )
+    data, pw = build_fibonacci(config=config, public_io=False)
+    assert data.common.quotient_degree_factor < (1 << 4)
+    proof = data.prove(pw)
+    data.verify(proof)
