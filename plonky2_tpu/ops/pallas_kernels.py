@@ -15,10 +15,12 @@ not exist on CPU; tests run with interpret=True).
 
 Measured on TPU v5e (2026-08-17): fused mul 1.41 Gmul/s vs 1.32 XLA at
 1M elements; row FFT 2.07ms vs 2.74ms XLA at 64x2^10 (the six-step local
-row size), parity at 2^12. Rows ≥ 2^13 exceed the whole-row-in-VMEM
-design — a stage-split (four-step in-kernel) variant is future work, so
-the default prover path stays on XLA and these are opt-in building
-blocks for the six-step pipeline.
+row size), parity at 2^12. Rows ≥ 2^13 run the stage-split hybrid in
+row_fft_bitrev: the first MAX_FUSED_LOG post-bit-reversal stages fuse
+into one VMEM kernel (they act within contiguous blocks), the remaining
+cross-block stages run as XLA passes — log(N)+1 HBM passes drop to
+log(N)-MAX_FUSED_LOG+1. Opt-in via PLONKY2_TPU_PALLAS; the crossover vs
+plain XLA is measured by benches/kernels.py on real hardware.
 """
 
 from __future__ import annotations
@@ -168,13 +170,9 @@ def _fft_body(n_log: int, xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
     ohi_ref[:] = hi
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def row_fft_bitrev(
-    x: gf.Gf, n_log: int, inverse: bool = False, interpret: bool = False
-) -> gf.Gf:
-    """[M, N] rows (already bit-reversed) -> natural-order FFT values,
-    all stages fused in VMEM, with the row axis gridded so each block's
-    working set (2 limb planes in/out + temporaries) fits VMEM."""
+def _row_fft_core(x: gf.Gf, n_log: int, inverse: bool, interpret: bool) -> gf.Gf:
+    """All n_log stages fused in VMEM over [M, 2^n_log] rows; NO final
+    1/N scaling (callers handle it, so the hybrid path can defer it)."""
     m, n = x[0].shape
     assert n == 1 << n_log
     tlo, thi = _stacked_tables(n_log, inverse)
@@ -203,6 +201,38 @@ def row_fft_bitrev(
     )(xlo, xhi, jnp.asarray(tlo), jnp.asarray(thi))
     if pad:
         out = (out[0][:m], out[1][:m])
+    return out
+
+
+# All stages of one row must fit a VMEM block alongside the [n_log, N]
+# twiddle planes; past this the hybrid path splits stages instead.
+MAX_FUSED_LOG = 12
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def row_fft_bitrev(
+    x: gf.Gf, n_log: int, inverse: bool = False, interpret: bool = False
+) -> gf.Gf:
+    """[M, N] rows (already bit-reversed) -> natural-order FFT values,
+    fused in VMEM. Rows ≤ 2^MAX_FUSED_LOG run all stages in one kernel;
+    larger rows run the stage-split hybrid: after a global bit-reversal
+    the first b stages of a DIT act entirely within contiguous 2^b
+    blocks with block-independent twiddles, so [M, N] reshapes to
+    [M*N/2^b, 2^b] for the fused kernel (one HBM round trip for b
+    stages) and the remaining log(N)-b cross-block stages run as XLA
+    passes — log(N)+1 HBM passes drop to log(N)-b+1."""
+    m, n = x[0].shape
+    assert n == 1 << n_log
+    if n_log <= MAX_FUSED_LOG:
+        out = _row_fft_core(x, n_log, inverse, interpret)
+    else:
+        from . import ntt
+
+        b = MAX_FUSED_LOG
+        xr = (x[0].reshape(-1, 1 << b), x[1].reshape(-1, 1 << b))
+        head = _row_fft_core(xr, b, inverse, interpret)
+        x2 = (head[0].reshape(m, n), head[1].reshape(m, n))
+        out = ntt._butterflies(x2, ntt.stage_roots(n_log, inverse), first_stage=b)
     if inverse:
         out = gf.mul_const(out, gl.ginv(n % gl.P))
     return out

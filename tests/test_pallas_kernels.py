@@ -34,3 +34,22 @@ def test_pallas_ifft_roundtrip():
     vals = pk.fft(cg, interpret=True)
     back = np.asarray(gf.to_u64(pk.ifft(vals, interpret=True)))
     assert np.array_equal(back, coeffs)
+
+
+def test_pallas_fft_large_rows_stage_split(monkeypatch):
+    """Rows past MAX_FUSED_LOG take the stage-split hybrid (fused head
+    within 2^b blocks + XLA cross-block tail) — previously unsupported."""
+    import plonky2_tpu.ops.pallas_kernels as pk
+    from plonky2_tpu.field import goldilocks as gl
+    from plonky2_tpu.ops import gf, ntt
+
+    monkeypatch.setattr(pk, "MAX_FUSED_LOG", 6)  # exercise the split cheaply
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, gl.P, size=(3, 1 << 9), dtype=np.uint64)
+    cg = gf.from_u64(c)
+    got = np.asarray(gf.to_u64(pk.fft(cg, interpret=True)))
+    want = np.asarray(gf.to_u64(ntt.fft_jit(cg)))
+    assert np.array_equal(got, want)
+    # inverse roundtrip through the hybrid too
+    back = np.asarray(gf.to_u64(pk.ifft(pk.fft(cg, interpret=True), interpret=True)))
+    assert np.array_equal(back, c)

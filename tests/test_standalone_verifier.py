@@ -91,8 +91,11 @@ def test_verify_without_jax(proof_blobs):
     code = _SUBPROCESS.replace("__REPO__", repr(repo)).replace(
         "__PATH__", repr(proof_blobs)
     )
+    # -I (isolated): the ambient environment preloads jax into every
+    # interpreter via PYTHONPATH sitecustomize; isolated mode starts
+    # jax-free so the blocker actually guards the verifier's imports
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+        [sys.executable, "-I", "-c", code], capture_output=True, text=True, timeout=600
     )
     assert out.returncode == 0, f"stdout={out.stdout}\nstderr={out.stderr}"
     assert "STANDALONE_OK" in out.stdout
