@@ -95,7 +95,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    dt = _bench_fibonacci()
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        from plonky2_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            dt = _bench_fibonacci()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+    else:
+        dt = _bench_fibonacci()
     baseline_s = 0.300  # whitepaper: recursive proof on 2021 laptop
 
     extra = {}

@@ -33,9 +33,7 @@ from typing import Dict, List
 
 import numpy as np
 
-HBM_BW = 819e9  # bytes/s, v5e
-VPU_OPS = 6.1e12  # u32 ops/s, v5e estimate (8*128 lanes * 4 ALUs * 1.5GHz)
-ELT = 8  # bytes per Goldilocks element (u32 lo+hi)
+from plonky2_tpu.utils.profiling import ELT, HBM_BW, VPU_OPS
 
 # Poseidon op-count model (see module docstring)
 GMUL_OPS = 24

@@ -52,8 +52,11 @@ def prove(
     nc = config.num_challenges
     fri_config = config.fri_config
 
+    from ..utils import profiling as prof
+
     # 1. witness generation (host fixpoint)
-    partition_witness = generate_partial_witness(inputs, prover_data, common)
+    with prof.annotate("prove/witness"):
+        partition_witness = generate_partial_witness(inputs, prover_data, common)
     set_lookup_wires(prover_data, common, partition_witness)
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = gc.inner_hasher.hash_no_pad(public_inputs)
@@ -62,13 +65,14 @@ def prove(
 
     # 2. oracle 1 — wires
     wires_dev = gf.from_u64(witness.wire_values)  # [num_wires, n]
-    wires_commitment = fo.PolynomialBatch.from_values(
-        wires_dev,
-        fri_config.rate_bits,
-        common.config.zero_knowledge and ORACLE_BLINDING[ORACLE_WIRES],
-        fri_config.cap_height,
-        hasher=hasher,
-    )
+    with prof.annotate("prove/commit-wires"):
+        wires_commitment = fo.PolynomialBatch.from_values(
+            wires_dev,
+            fri_config.rate_bits,
+            common.config.zero_knowledge and ORACLE_BLINDING[ORACLE_WIRES],
+            fri_config.cap_height,
+            hasher=hasher,
+        )
 
     # 3. Fiat-Shamir head (Appendix A order)
     challenger = Challenger(permutation=hasher.permutation)
@@ -85,7 +89,8 @@ def prove(
         deltas = []
 
     # 4. permutation argument: Z + partial products (host numpy, vectorized)
-    zs_pp_np = _zs_and_partial_products(witness, betas, gammas, prover_data, common)
+    with prof.annotate("prove/zs-partial-products"):
+        zs_pp_np = _zs_and_partial_products(witness, betas, gammas, prover_data, common)
     if has_lookup:
         lookup_np = compute_all_lookup_polys(witness, deltas, prover_data, common)
         zs_pp_np = np.concatenate([zs_pp_np, lookup_np], axis=0)
@@ -100,17 +105,18 @@ def prove(
     alphas = challenger.get_n_challenges(nc)
 
     # 5. quotient (device kernel over the whole coset)
-    quotient_chunks = _compute_quotient_polys(
-        common,
-        prover_data,
-        public_inputs_hash,
-        wires_commitment,
-        zs_pp_commitment,
-        betas,
-        gammas,
-        alphas,
-        deltas,
-    )
+    with prof.annotate("prove/quotient"):
+        quotient_chunks = _compute_quotient_polys(
+            common,
+            prover_data,
+            public_inputs_hash,
+            wires_commitment,
+            zs_pp_commitment,
+            betas,
+            gammas,
+            alphas,
+            deltas,
+        )
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
         quotient_chunks,
         fri_config.rate_bits,
@@ -163,9 +169,10 @@ def prove(
 
     # 7. FRI opening proof
     instance = common.get_fri_instance(zeta)
-    opening_proof = fo.prove_openings(
-        instance, oracles, challenger, common.fri_params, hasher=hasher
-    )
+    with prof.annotate("prove/fri"):
+        opening_proof = fo.prove_openings(
+            instance, oracles, challenger, common.fri_params, hasher=hasher
+        )
 
     proof = Proof(
         wires_cap=wires_commitment.cap_u64(),
