@@ -107,25 +107,30 @@ def main():
     baseline_s = 0.300  # whitepaper: recursive proof on 2021 laptop
 
     extra = {}
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     if not os.environ.get("BENCH_FAST"):
         large_log2 = int(os.environ.get("BENCH_LARGE_LOG2", "16"))
         stark_log2 = int(os.environ.get("BENCH_STARK_LOG2", "22"))
+
+        def _kernels():
+            from benches.kernels import run_kernel_suite
+
+            return run_kernel_suite()
+
         for name, fn in (
-            ("large_circuit", lambda: _bench_large_circuit(large_log2)),
+            ("kernels", _kernels),
             ("stark", lambda: _bench_stark(stark_log2)),
+            ("large_circuit", lambda: _bench_large_circuit(large_log2)),
         ):
+            if time.perf_counter() - t_start > budget_s:
+                extra[name] = {"skipped": f"bench budget {budget_s}s exhausted"}
+                continue
             try:
                 extra[name] = fn()
             except Exception:
                 extra[name] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
                 traceback.print_exc(file=sys.stderr)
-        try:
-            from benches.kernels import run_kernel_suite
-
-            extra["kernels"] = run_kernel_suite()
-        except Exception:
-            extra["kernels"] = {"error": traceback.format_exc(limit=3).splitlines()[-1]}
-            traceback.print_exc(file=sys.stderr)
 
     print(
         json.dumps(

@@ -98,13 +98,19 @@ class BatchFriOracle:
 def prove_batch_openings(
     degree_bits: List[int],
     instances: List[FriInstanceInfo],
-    oracle: BatchFriOracle,
+    oracle,
     challenger: Challenger,
     fri_params: FriParams,
 ) -> FriProof:
     """BatchFriOracle::prove_openings (oracle.rs:163-230): one reduced
     final polynomial per instance, sharing one alpha (powers reset per
-    instance via the shift), then the batch FRI argument."""
+    instance via the shift), then the batch FRI argument.
+
+    oracle: a BatchFriOracle, or a list of them (the reference's
+    ``oracles: &[&Self]``) — instance oracle index t reads group g of
+    oracles[t], so e.g. a batch-STARK commits traces in one batch tree
+    and quotients in another."""
+    oracles = [oracle] if isinstance(oracle, BatchFriOracle) else list(oracle)
     assert len(degree_bits) == len(instances)
     assert degree_bits == sorted(degree_bits, reverse=True)
     alpha = challenger.get_extension_challenge(2)
@@ -112,7 +118,10 @@ def prove_batch_openings(
     final_coeffs = []
     final_values = []
     for g, instance in enumerate(instances):
-        views = [oracle.group_view(g)] * _num_oracles(instance)
+        assert len(instance.oracles) == len(oracles), (
+            "every instance must reference one FriOracleInfo per batch oracle"
+        )
+        views = [oracles[t].group_view(g) for t in range(len(oracles))]
         final = reduce_openings_to_final_poly(instance, views, alpha)
         lde_size = 1 << (degree_bits[g] + fri_params.config.rate_bits)
         n = final[0].shape[0]
@@ -122,7 +131,11 @@ def prove_batch_openings(
         final_values.append(fk.ext_coset_fft(lde_coeffs))
 
     return batch_fri_proof(
-        oracle.batch_merkle_tree, final_coeffs[0], final_values, challenger, fri_params
+        [o.batch_merkle_tree for o in oracles],
+        final_coeffs[0],
+        final_values,
+        challenger,
+        fri_params,
     )
 
 
@@ -131,13 +144,16 @@ def _num_oracles(instance: FriInstanceInfo) -> int:
 
 
 def batch_fri_proof(
-    batch_tree: merkle.BatchDeviceMerkleTree,
+    batch_trees,
     lde_polynomial_coeffs: gf.Gf,
     lde_polynomial_values: List[gf.Gf],
     challenger: Challenger,
     fri_params: FriParams,
 ) -> FriProof:
-    """prover.rs:25-151."""
+    """prover.rs:25-151. batch_trees: one BatchDeviceMerkleTree or a
+    list (initial query openings prove against each)."""
+    if isinstance(batch_trees, merkle.BatchDeviceMerkleTree):
+        batch_trees = [batch_trees]
     n = lde_polynomial_coeffs[0].shape[0]
     assert lde_polynomial_values[0][0].shape[0] == n
     sizes = [v[0].shape[0] for v in lde_polynomial_values]
@@ -164,7 +180,7 @@ def batch_fri_proof(
     query_indices = [
         c % n for c in challenger.get_n_challenges(fri_params.config.num_query_rounds)
     ]
-    rounds = _batch_query_rounds(batch_tree, trees, query_indices, fri_params)
+    rounds = _batch_query_rounds(batch_trees, trees, query_indices, fri_params)
     return FriProof(
         commit_phase_merkle_caps=[t.cap_u64() for t in trees],
         query_round_proofs=rounds,
@@ -237,14 +253,14 @@ def _coset_ifft_ext(values: gf.Gf, shift: int) -> gf.Gf:
 
 
 def _batch_query_rounds(
-    batch_tree: merkle.BatchDeviceMerkleTree,
+    batch_trees: List[merkle.BatchDeviceMerkleTree],
     trees,
     query_indices: List[int],
     fri_params: FriParams,
 ) -> List[FriQueryRound]:
     qi = np.array(query_indices, dtype=np.int64)
-    init_rows = batch_tree.values_batch(qi)  # per matrix [Q, w]
-    init_paths = batch_tree.prove_batch(qi)  # [Q, L, 4]
+    # one initial opening per batch oracle (evals_proofs entry t = tree t)
+    init = [(bt.values_batch(qi), bt.prove_batch(qi)) for bt in batch_trees]
     step_data = []
     xi = qi
     for i, arity_bits in enumerate(fri_params.reduction_arity_bits):
@@ -255,12 +271,12 @@ def _batch_query_rounds(
 
     rounds = []
     for q in range(len(query_indices)):
-        flat_vals = [int(v) for rows in init_rows for v in rows[q]]
         evals_proofs = [
             (
-                flat_vals,
+                [int(v) for rows in init_rows for v in rows[q]],
                 MerkleProof([tuple(int(x) for x in s) for s in init_paths[q]]),
             )
+            for init_rows, init_paths in init
         ]
         steps = []
         for leaves, sibs in step_data:
@@ -293,12 +309,23 @@ def verify_batch_fri_proof(
     instances: List[FriInstanceInfo],
     openings_list: List[FriOpenings],
     challenges: FriChallenges,
-    initial_merkle_cap: np.ndarray,
-    leaf_heights: List[int],
+    initial_merkle_cap,
+    leaf_heights,
     proof: FriProof,
     params: FriParams,
     hasher=None,
 ) -> None:
+    """initial_merkle_cap / leaf_heights: one cap (np [2^h, 4]) and one
+    height list per batch oracle; a bare cap / flat height list means a
+    single shared oracle (the original API)."""
+    if isinstance(initial_merkle_cap, np.ndarray):
+        initial_merkle_caps = [initial_merkle_cap]
+    else:
+        initial_merkle_caps = list(initial_merkle_cap)
+    if leaf_heights and not isinstance(leaf_heights[0], (list, tuple)):
+        leaf_heights = [list(leaf_heights)]
+    else:
+        leaf_heights = [list(h) for h in leaf_heights]
     fri_verify_proof_of_work(challenges.fri_pow_response, params.config)
     _ensure(
         params.config.num_query_rounds == len(proof.query_round_proofs),
@@ -316,7 +343,7 @@ def verify_batch_fri_proof(
             instances,
             challenges,
             precomputed,
-            initial_merkle_cap,
+            initial_merkle_caps,
             leaf_heights,
             proof,
             x_index,
@@ -327,17 +354,25 @@ def verify_batch_fri_proof(
 
 
 def _split_initial_rows(
-    instances: List[FriInstanceInfo], evals: List[int]
+    instances: List[FriInstanceInfo], evals_list: List[List[int]]
 ) -> List[List[int]]:
-    """Flat leaf values -> per-instance rows (verifier.rs:90-103).
-    A single shared oracle (oracle_index 0) is assumed."""
+    """Per-oracle flat leaf values -> per-instance rows (verifier.rs:90-103):
+    instance g's row is the concatenation, over batch oracles t, of the
+    (t, g) slice — matching fri_combine_initial's contiguous-per-oracle
+    eval layout."""
+    T = len(evals_list)
+    offsets = [0] * T
     out = []
-    pos = 0
     for inst in instances:
-        num = sum(o.num_polys for o in inst.oracles)
-        out.append(evals[pos : pos + num])
-        pos += num
-    _ensure(pos == len(evals), "leaf width mismatch")
+        _ensure(len(inst.oracles) == T, "instance/oracle-count mismatch")
+        row: List[int] = []
+        for t in range(T):
+            num = inst.oracles[t].num_polys
+            row.extend(evals_list[t][offsets[t] : offsets[t] + num])
+            offsets[t] += num
+        out.append(row)
+    for t in range(T):
+        _ensure(offsets[t] == len(evals_list[t]), "leaf width mismatch")
     return out
 
 
@@ -346,21 +381,40 @@ def _batch_verifier_query_round(
     instances: List[FriInstanceInfo],
     challenges: FriChallenges,
     precomputed: List[PrecomputedReducedOpenings],
-    initial_merkle_cap: np.ndarray,
-    leaf_heights: List[int],
+    initial_merkle_caps: List[np.ndarray],
+    leaf_heights: List[List[int]],
     proof: FriProof,
     x_index: int,
     round_proof: FriQueryRound,
     params: FriParams,
     hasher,
 ) -> None:
-    evals, mproof = round_proof.initial_trees_proof.evals_proofs[0]
-    rows = _split_initial_rows(instances, evals)
     _ensure(
-        merkle.verify_batch_merkle_proof_to_cap(
-            rows, lde_bits, x_index, initial_merkle_cap, mproof.siblings, hasher=hasher
-        ),
-        "batch Merkle proof does not match cap",
+        len(round_proof.initial_trees_proof.evals_proofs) == len(initial_merkle_caps),
+        "initial proof count does not match batch oracle count",
+    )
+    for t, (evals, mproof) in enumerate(round_proof.initial_trees_proof.evals_proofs):
+        # re-split tree t's flat leaf into its per-group matrices
+        tree_rows = []
+        pos = 0
+        for g, inst in enumerate(instances):
+            num = inst.oracles[t].num_polys
+            tree_rows.append(evals[pos : pos + num])
+            pos += num
+        _ensure(pos == len(evals), "leaf width mismatch")
+        _ensure(
+            merkle.verify_batch_merkle_proof_to_cap(
+                tree_rows,
+                leaf_heights[t],
+                x_index,
+                initial_merkle_caps[t],
+                mproof.siblings,
+                hasher=hasher,
+            ),
+            f"batch Merkle proof {t} does not match cap",
+        )
+    rows = _split_initial_rows(
+        instances, [ep[0] for ep in round_proof.initial_trees_proof.evals_proofs]
     )
 
     n = lde_bits[0]

@@ -39,7 +39,7 @@ def _pad_rows_for_mesh(x: gf.Gf) -> gf.Gf:
     key = pctx.mesh_key()
     if key is None:
         return x
-    d = key[0].shape[key[1]]
+    d = pctx.axis_size(key)
     pad = (-x[0].shape[0]) % d
     if pad:
         x = (

@@ -19,6 +19,17 @@ Usage::
 
     with prover_mesh(jax.make_mesh((8,), ("x",))):
         proof = prove(prover_data, common, pw)
+
+Multi-host: pass a 2-D mesh and a tuple of axis names —
+``prover_mesh(Mesh(devs.reshape(hosts, chips), ("host", "chip")),
+axis=("host", "chip"))`` — and every sharded dimension is flattened over
+both axes (PartitionSpec accepts the tuple). Layout guidance for real
+pods: put the *outer* (slower, DCN) axis first; the poly-axis LDE phase
+is collective-free so it scales across DCN slices, and the single
+poly-major→point-major all-to-all is the only cross-slice transfer —
+XLA decomposes it hierarchically (ICI within a slice, DCN once across).
+For DCN-free operation shard over the ICI axis alone and run one
+independent proof per slice (data-parallel proving).
 """
 
 from __future__ import annotations
@@ -61,6 +72,18 @@ def mesh_key() -> Optional[Tuple[Mesh, str]]:
     """Hashable cache key for per-mesh jitted kernels (None = single chip)."""
     m = _STATE["mesh"]
     return None if m is None else (m, _STATE["axis"])
+
+
+def axis_size(key) -> int:
+    """Total device count along the sharding axis (a name or a tuple of
+    names for multi-host meshes)."""
+    mesh, axis = key
+    if isinstance(axis, tuple):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
 
 
 @contextmanager

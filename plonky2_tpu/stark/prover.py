@@ -221,6 +221,84 @@ def prove(
     )
 
 
+def compute_quotient_chunks(
+    stark: Stark,
+    nc: int,
+    rate_bits: int,
+    degree_bits: int,
+    trace_nat: gf.Gf,
+    alphas: List[int],
+    public_inputs: List[int],
+    qdf: int,
+    *,
+    aux_nat=None,
+    lookup_challenges=None,
+    ctl_entries=None,
+    cchal_flat=(),
+    num_lookup_columns: int = 0,
+) -> gf.Gf:
+    """Evaluate the combined constraint quotient over the full-rate coset
+    and split it into qdf degree-n coefficient chunks per challenge
+    (prover.rs:290-350). trace_nat: natural-order coset LDE values
+    [num_columns, n << rate_bits] (zk masking already applied). Shared by
+    the single-table prover and the batch-STARK prover."""
+    n = 1 << degree_bits
+    lde_n = n << rate_bits
+    pts = gl.two_adic_subgroup(degree_bits + rate_bits)
+    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
+    xs = gl.np_mul(shift, pts)
+    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
+    zh_period = gl.np_sub(
+        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(rate_bits)), np.uint64(1)
+    )
+    zh = np.tile(zh_period, lde_n // (1 << rate_bits))
+    zh_inv = gl.np_batch_inverse(zh)
+    n_mod = np.uint64(n % gl.P)
+    l_first = gl.np_mul(
+        zh, gl.np_batch_inverse(gl.np_mul(n_mod, gl.np_sub(xs, np.uint64(1))))
+    )
+    g = gl.primitive_root_of_unity(degree_bits)
+    l_last = gl.np_mul(
+        zh,
+        gl.np_batch_inverse(
+            gl.np_mul(n_mod, gl.np_sub(gl.np_mul(np.uint64(g), xs), np.uint64(1)))
+        ),
+    )
+    last = gl.gexp(g, n - 1)
+    z_last = gl.np_sub(xs, np.uint64(last))
+
+    qfn = _quotient_fn(
+        stark,
+        nc,
+        rate_bits,
+        stark.uses_lookups(),
+        ctl_entries=ctl_entries,
+        num_lookup_cols_static=num_lookup_columns,
+    )
+
+    def pair(vals):
+        return gf.from_u64(np.array(vals, dtype=np.uint64))
+
+    q_lo, q_hi = qfn(
+        trace_nat,
+        aux_nat if aux_nat is not None else pair([]),
+        pair(lookup_challenges or []),
+        pair(list(cchal_flat)),
+        gf.from_u64(z_last),
+        gf.from_u64(l_first),
+        gf.from_u64(l_last),
+        gf.from_u64(zh_inv),
+        pair(alphas),
+        pair([p % gl.P for p in public_inputs]),
+    )
+    coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
+    # keep the first qdf degree-n chunks per challenge (zk: one extra
+    # chunk absorbs the mask-degree overflow d*m)
+    chunks_lo = coeffs[0].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
+    chunks_hi = coeffs[1].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
+    return chunks_lo, chunks_hi
+
+
 def prove_with_commitment(
     stark: Stark,
     config: StarkConfig,
@@ -302,31 +380,6 @@ def prove_with_commitment(
     )
 
     # 2. quotient over the full-rate coset
-    n = degree
-    lde_n = n << rate_bits
-    pts = gl.two_adic_subgroup(degree_bits + rate_bits)
-    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
-    xs = gl.np_mul(shift, pts)
-    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
-    zh_period = gl.np_sub(
-        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(rate_bits)), np.uint64(1)
-    )
-    zh = np.tile(zh_period, lde_n // (1 << rate_bits))
-    zh_inv = gl.np_batch_inverse(zh)
-    n_mod = np.uint64(n % gl.P)
-    l_first = gl.np_mul(
-        zh, gl.np_batch_inverse(gl.np_mul(n_mod, gl.np_sub(xs, np.uint64(1))))
-    )
-    g = gl.primitive_root_of_unity(degree_bits)
-    l_last = gl.np_mul(
-        zh,
-        gl.np_batch_inverse(
-            gl.np_mul(n_mod, gl.np_sub(gl.np_mul(np.uint64(g), xs), np.uint64(1)))
-        ),
-    )
-    last = gl.gexp(g, n - 1)
-    z_last = gl.np_sub(xs, np.uint64(last))
-
     trace_nat = _natural_order_values(trace_commitment)
     if zk:
         # combine committed halves into masked values on the coset:
@@ -336,7 +389,7 @@ def prove_with_commitment(
             np.uint64(gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, degree)),
             gl.two_adic_subgroup(rate_bits),
         )
-        xn = gf.from_u64(np.tile(xn_period, lde_n // (1 << rate_bits)))
+        xn = gf.from_u64(np.tile(xn_period, degree))
         low_nat = (trace_nat[0][:num_cols], trace_nat[1][:num_cols])
         high_nat = (trace_nat[0][num_cols:], trace_nat[1][num_cols:])
         xn_b = (
@@ -344,43 +397,28 @@ def prove_with_commitment(
             jnp.broadcast_to(xn[1], high_nat[1].shape),
         )
         trace_nat = gf.add(low_nat, gf.mul(high_nat, xn_b))
-    qfn = _quotient_fn(
-        stark,
-        nc,
-        rate_bits,
-        stark.uses_lookups(),
-        ctl_entries=ctl_entries,
-        num_lookup_cols_static=num_lookup_columns,
-    )
-
-    def pair(vals):
-        return gf.from_u64(np.array(vals, dtype=np.uint64))
-
     aux_nat = (
-        _natural_order_values(aux_commitment) if aux_commitment is not None else pair([])
+        _natural_order_values(aux_commitment) if aux_commitment is not None else None
     )
     cchal_flat = []
     if ctl_challenges is not None and ctl_entries:
         for c in ctl_challenges.challenges:
             cchal_flat.extend([c.beta, c.gamma])
-    q_lo, q_hi = qfn(
+    chunks_lo, chunks_hi = compute_quotient_chunks(
+        stark,
+        nc,
+        rate_bits,
+        degree_bits,
         trace_nat,
-        aux_nat,
-        pair(lookup_challenges or []),
-        pair(cchal_flat),
-        gf.from_u64(z_last),
-        gf.from_u64(l_first),
-        gf.from_u64(l_last),
-        gf.from_u64(zh_inv),
-        pair(alphas),
-        pair([p % gl.P for p in public_inputs]),
+        alphas,
+        public_inputs,
+        qdf_eff,
+        aux_nat=aux_nat,
+        lookup_challenges=lookup_challenges,
+        ctl_entries=ctl_entries,
+        cchal_flat=cchal_flat,
+        num_lookup_columns=num_lookup_columns,
     )
-    coeffs = ntt.coset_ifft_jit((q_lo, q_hi))  # [nc, lde_n]
-    qdf = qdf_eff
-    # keep the first qdf degree-n chunks per challenge (zk: one extra
-    # chunk absorbs the mask-degree overflow d*m)
-    chunks_lo = coeffs[0].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
-    chunks_hi = coeffs[1].reshape(nc, 1 << rate_bits, n)[:, :qdf].reshape(nc * qdf, n)
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
         (chunks_lo, chunks_hi), rate_bits, zk, cap_height
     )

@@ -287,6 +287,52 @@ def _eval_vanishing_circuit(
     return consumer.accumulators()
 
 
+def binding_step_circuit(
+    builder,
+    ch,
+    stark: Stark,
+    config: StarkConfig,
+    degree_bits: int,
+    public_inputs_t,
+    *,
+    num_aux: int = 0,
+    lookup_challenge_exts=None,
+    runtime_degree=None,
+):
+    """Constraint-binding transcript step (prover.rs:263-370), in-circuit:
+    draw alphas', evaluate the constraints on transcript-derived dummy
+    values at a random point, observe, then draw the real alphas. The
+    circuit dual of stark/vanishing.py run_binding_step — shared by the
+    single-table and batch-STARK recursive verifiers."""
+    nc = config.num_challenges
+    alphas_prime = ch.get_n_challenges(nc)
+    C = stark.num_columns()
+    total = C * 2 + num_aux * 2
+    pow_degree = max(2, stark.constraint_degree() + 1)
+    num_ext_powers = max(1, 50 // log2_ceil(pow_degree) - 1)
+    num_zetas = -(-total // num_ext_powers)
+    zetas = [ch.get_extension_challenge() for _ in range(num_zetas)]
+    nb_per = min(num_ext_powers + 1, total)
+    dummy: List[ExtensionTarget] = []
+    for z in zetas:
+        cur = z
+        for _ in range(nb_per):
+            dummy.append(cur)
+            cur = builder.exp_u64_extension(cur, pow_degree)
+    zeta_prime = ch.get_extension_challenge()
+    constraints = _eval_vanishing_circuit(
+        builder, stark, config, degree_bits,
+        dummy[:C], dummy[C : 2 * C], public_inputs_t,
+        [builder.convert_to_ext(a) for a in alphas_prime], zeta_prime,
+        aux_local=dummy[2 * C : 2 * C + num_aux],
+        aux_next=dummy[2 * C + num_aux : 2 * C + 2 * num_aux],
+        lookup_challenge_exts=lookup_challenge_exts,
+        runtime_degree=runtime_degree,
+    )
+    ch.observe_extension_elements(constraints)
+    return ch.get_n_challenges(nc)
+
+
 def verify_stark_proof_circuit(
     builder,
     stark: Stark,
@@ -330,34 +376,12 @@ def verify_stark_proof_circuit(
     if proof.auxiliary_polys_cap is not None:
         ch.observe_cap(proof.auxiliary_polys_cap)
 
-    alphas_prime = ch.get_n_challenges(nc)
-
-    # constraint-binding step (prover.rs:263-370), in-circuit
-    C = stark.num_columns()
-    total = C * 2 + num_aux * 2
-    pow_degree = max(2, stark.constraint_degree() + 1)
-    num_ext_powers = max(1, 50 // log2_ceil(pow_degree) - 1)
-    num_zetas = -(-total // num_ext_powers)
-    zetas = [ch.get_extension_challenge() for _ in range(num_zetas)]
-    nb_per = min(num_ext_powers + 1, total)
-    dummy: List[ExtensionTarget] = []
-    for z in zetas:
-        cur = z
-        for _ in range(nb_per):
-            dummy.append(cur)
-            cur = builder.exp_u64_extension(cur, pow_degree)
-    zeta_prime = ch.get_extension_challenge()
-    constraints = _eval_vanishing_circuit(
-        builder, stark, config, degree_bits,
-        dummy[:C], dummy[C : 2 * C], pwp_t.public_inputs,
-        [builder.convert_to_ext(a) for a in alphas_prime], zeta_prime,
-        aux_local=dummy[2 * C : 2 * C + num_aux],
-        aux_next=dummy[2 * C + num_aux : 2 * C + 2 * num_aux],
+    alphas = binding_step_circuit(
+        builder, ch, stark, config, degree_bits, pwp_t.public_inputs,
+        num_aux=num_aux,
         lookup_challenge_exts=lookup_challenge_exts,
         runtime_degree=runtime_degree,
     )
-    ch.observe_extension_elements(constraints)
-    alphas = ch.get_n_challenges(nc)
 
     ch.observe_cap(proof.quotient_polys_cap)
     zeta = ch.get_extension_challenge()

@@ -70,3 +70,21 @@ def test_mesh_prove_degree_2_14(mesh):
 
     pwp1, _, common1 = _dp(config, 14)
     assert proof_to_bytes(pwp, common) == proof_to_bytes(pwp1, common1)
+
+
+def test_mesh_prove_2d_mesh_bit_identical():
+    """Multi-host shape: a (2 hosts x 4 chips) mesh with every sharded
+    dim flattened over both axes — the DCN/ICI layout from
+    parallel/context.py's multi-host guidance."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2d = Mesh(devs, ("host", "chip"))
+    data, pw = build_fibonacci(public_io=True)
+    want = _prove_bytes(data, pw)
+    with pctx.prover_mesh(mesh2d, axis=("host", "chip")):
+        got = _prove_bytes(data, pw)
+    assert got == want
