@@ -317,11 +317,18 @@ def _fused_fri_proof(
     challenger,
     fri_params,
 ):
-    """fri_proof with one device round trip (see _fused_fri_fn)."""
+    """fri_proof with one device round trip (see _fused_fri_fn).
+    challenger: a host Challenger, or a DeviceChallengerState whose
+    state never left the device (device-transcript prover)."""
     import jax as _jax
 
+    from ..hash.device_challenger import DeviceChallengerState
+
     arities = tuple(fri_params.reduction_arity_bits)
-    in_len = len(challenger.input_buffer)
+    device_state = isinstance(challenger, DeviceChallengerState)
+    in_len = (
+        challenger.in_len if device_state else len(challenger.input_buffer)
+    )
     key = (
         arities,
         fri_params.config.cap_height,
@@ -335,18 +342,24 @@ def _fused_fri_proof(
         _FUSED_FRI_CACHE[key] = _jax.jit(_fused_fri_fn(*key))
     jfn = _FUSED_FRI_CACHE[key]
 
-    state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)
-    inbuf_u64 = np.zeros(8, dtype=np.uint64)
-    if in_len:
-        inbuf_u64[:in_len] = np.array(challenger.input_buffer, dtype=np.uint64)
+    if device_state:
+        state_pair = challenger.state
+        inbuf_pair = challenger.input_buffer
+    else:
+        state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)
+        inbuf_u64 = np.zeros(8, dtype=np.uint64)
+        if in_len:
+            inbuf_u64[:in_len] = np.array(challenger.input_buffer, dtype=np.uint64)
+        state_pair = gf.from_u64(state_u64)
+        inbuf_pair = gf.from_u64(inbuf_u64)
     init_leaves = tuple(t.leaves for t in initial_merkle_trees)
     init_levels = tuple(tuple(l for l in t.levels) for t in initial_merkle_trees)
 
     out_trees, final, witness, caps, gathered = jfn(
         lde_polynomial_coeffs,
         lde_polynomial_values,
-        gf.from_u64(state_u64),
-        gf.from_u64(inbuf_u64),
+        state_pair,
+        inbuf_pair,
         init_leaves,
         init_levels,
     )

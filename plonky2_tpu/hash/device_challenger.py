@@ -109,3 +109,39 @@ class DeviceChallenger:
         lo = jnp.stack([s[0] for s in self.state])
         hi = jnp.stack([s[1] for s in self.state])
         return (lo, hi), len(self.output_buffer), len(self.input_buffer)
+
+    def export_full(self):
+        """(state [12] pair, input buffer padded to [RATE] pair, in_len):
+        everything a later jit needs to resume this transcript mid-absorb
+        (the cross-phase handoff of the device-transcript prover)."""
+        lo = jnp.stack([s[0] for s in self.state])
+        hi = jnp.stack([s[1] for s in self.state])
+        n_in = len(self.input_buffer)
+        zero = jnp.zeros((), jnp.uint32)
+        buf = self.input_buffer + [(zero, zero)] * (SPONGE_RATE - n_in)
+        blo = jnp.stack([b[0] for b in buf])
+        bhi = jnp.stack([b[1] for b in buf])
+        return (lo, hi), (blo, bhi), n_in
+
+
+class DeviceChallengerState:
+    """A challenger whose state lives on device between jit dispatches —
+    chaining token of the device-transcript prover (no host syncs)."""
+
+    def __init__(self, state, input_buffer, in_len: int):
+        self.state = state  # [12] limb pair (device)
+        self.input_buffer = input_buffer  # [RATE] limb pair (device)
+        self.in_len = in_len  # static
+
+    @staticmethod
+    def from_host(challenger) -> "DeviceChallengerState":
+        import numpy as np
+
+        state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)
+        inbuf_u64 = np.zeros(SPONGE_RATE, dtype=np.uint64)
+        in_len = len(challenger.input_buffer)
+        if in_len:
+            inbuf_u64[:in_len] = np.array(challenger.input_buffer, dtype=np.uint64)
+        return DeviceChallengerState(
+            gf.from_u64(state_u64), gf.from_u64(inbuf_u64), in_len
+        )

@@ -333,7 +333,23 @@ def sum_mod_p(a: Gf, axis: int = 0) -> Gf:
     pattern (core/src/poseidon.rs:37-52)."""
     lo, hi = a
     n = lo.shape[axis]
-    assert n < (1 << 16), "sum_mod_p axis too long"
+    if n >= (1 << 16):
+        # hierarchical: split the axis into < 2^16 chunks, reduce each
+        # exactly, then reduce the (canonical) chunk sums — unbounded
+        # lengths in log_{2^15}(n) levels
+        chunk = 1 << 15
+        pad = (-n) % chunk
+        lo = jnp.moveaxis(lo, axis, 0)
+        hi = jnp.moveaxis(hi, axis, 0)
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (lo.ndim - 1)
+            lo = jnp.pad(lo, widths)
+            hi = jnp.pad(hi, widths)
+        rest = lo.shape[1:]
+        lo = lo.reshape((-1, chunk) + rest)
+        hi = hi.reshape((-1, chunk) + rest)
+        partial = sum_mod_p((lo, hi), axis=1)  # [n/chunk, ...]
+        return sum_mod_p(partial, axis=0)
     s0l = jnp.sum(lo & _M16_, axis=axis, dtype=U32)
     s0h = jnp.sum(lo >> np.uint32(16), axis=axis, dtype=U32)
     s1l = jnp.sum(hi & _M16_, axis=axis, dtype=U32)
@@ -397,6 +413,17 @@ def powers_scan(x: Gf, n: int) -> Gf:
     lo = jnp.concatenate([jnp.ones(1, U32), jnp.broadcast_to(x[0], (n - 1,))])
     hi = jnp.concatenate([jnp.zeros(1, U32), jnp.broadcast_to(x[1], (n - 1,))])
     return jax.lax.associative_scan(lambda a, b: mul(a, b), (lo, hi))
+
+
+def ext2_powers_scan(z: Gf, n: int) -> Gf:
+    """[1, z, z^2, ..., z^{n-1}] over the D=2 extension as a log-depth
+    associative scan; z: shape-(2,) limb pair. Device replacement for the
+    host ext_powers_np table (fri/oracle.py) so openings can be evaluated
+    at a traced zeta with no host sync."""
+    one = ext2_const((1, 0))
+    lo = jnp.concatenate([one[0][None, :], jnp.broadcast_to(z[0], (n - 1, 2))], axis=0)
+    hi = jnp.concatenate([one[1][None, :], jnp.broadcast_to(z[1], (n - 1, 2))], axis=0)
+    return jax.lax.associative_scan(lambda a, b: ext2_mul(a, b), (lo, hi), axis=0)
 
 
 def prod_mod_p(a: Gf, axis: int = 0) -> Gf:

@@ -7,6 +7,7 @@ device kernels.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 import jax
@@ -189,6 +190,104 @@ def prove(
 # Sequential-looking prefix products become log-doubling scans; the row
 # quotient computation is one batched inverse.
 # ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _zs_device_fn(nc: int, n: int, nr: int, chunk: int, num_prods: int):
+    """Device dual of _zs_and_partial_products: the permutation argument
+    entirely on device (chunk products, log-doubling prefix products,
+    associative-scan batch inverse) so the device-transcript prover can
+    consume traced betas/gammas with no host sync (prover.rs:396-480)."""
+
+    @jax.jit
+    def f(wires, sigmas, s_id, betas, gammas):
+        # wires/sigmas/s_id: [n, nr] limb pairs; betas/gammas: [nc] pairs
+        def bview(x, c):
+            return (
+                jnp.broadcast_to(x[0][c], (n, nr)),
+                jnp.broadcast_to(x[1][c], (n, nr)),
+            )
+
+        z_cols = []
+        pp_cols = []
+        for c in range(nc):
+            b = bview(betas, c)
+            gma = bview(gammas, c)
+            numer = gf.add(gf.add(wires, gf.mul(b, s_id)), gma)
+            denom = gf.add(gf.add(wires, gf.mul(b, sigmas)), gma)
+            flat_inv = gf.batch_inverse((denom[0].reshape(-1), denom[1].reshape(-1)))
+            quot = gf.mul(numer, (flat_inv[0].reshape(n, nr), flat_inv[1].reshape(n, nr)))
+            q = (quot[0].reshape(n, nr // chunk, chunk), quot[1].reshape(n, nr // chunk, chunk))
+            cp = (q[0][:, :, 0], q[1][:, :, 0])
+            for j in range(1, chunk):
+                cp = gf.mul(cp, (q[0][:, :, j], q[1][:, :, j]))
+            # inclusive prefix product along the chunk axis (log-doubling)
+            cum = cp
+            shift = 1
+            while shift < nr // chunk:
+                upd = gf.mul(
+                    (cum[0][:, shift:], cum[1][:, shift:]),
+                    (cum[0][:, :-shift], cum[1][:, :-shift]),
+                )
+                cum = (
+                    jnp.concatenate([cum[0][:, :shift], upd[0]], axis=1),
+                    jnp.concatenate([cum[1][:, :shift], upd[1]], axis=1),
+                )
+                shift <<= 1
+            row_prod = (cum[0][:, -1], cum[1][:, -1])  # [n]
+            # exclusive prefix product over rows -> Z values
+            one = gf.ones((1,))
+            z = (
+                jnp.concatenate([one[0], row_prod[0][:-1]]),
+                jnp.concatenate([one[1], row_prod[1][:-1]]),
+            )
+            shift = 1
+            while shift < n:
+                upd = gf.mul(
+                    (z[0][shift:], z[1][shift:]), (z[0][:-shift], z[1][:-shift])
+                )
+                z = (
+                    jnp.concatenate([z[0][:shift], upd[0]]),
+                    jnp.concatenate([z[1][:shift], upd[1]]),
+                )
+                shift <<= 1
+            pps = gf.mul(
+                (z[0][:, None], z[1][:, None]),
+                (cum[0][:, :num_prods], cum[1][:, :num_prods]),
+            )  # [n, num_prods]
+            z_cols.append(z)
+            pp_cols.append(pps)
+        # layout matches the host: all Z columns, then per-challenge pps
+        lo = [zc[0][None, :] for zc in z_cols] + [
+            pp_cols[i][0].T for i in range(nc)
+        ]
+        hi = [zc[1][None, :] for zc in z_cols] + [
+            pp_cols[i][1].T for i in range(nc)
+        ]
+        return jnp.concatenate(lo, axis=0), jnp.concatenate(hi, axis=0)
+
+    return f
+
+
+def _zs_and_partial_products_device(wires_dev, betas, gammas, prover_data, common) -> gf.Gf:
+    """wires_dev: [num_wires, n] limb pair; betas/gammas: [nc] limb pairs
+    (traced or concrete). Returns [(1+num_prods)*nc, n] limb pair."""
+    config = common.config
+    nr = config.num_routed_wires
+    n = common.degree
+    chunk = common.permutation_partial_product_degree()
+    num_prods = common.num_partial_products
+    wires = (wires_dev[0][:nr].T, wires_dev[1][:nr].T)  # [n, nr]
+    sigmas = gf.from_u64(np.ascontiguousarray(prover_data.sigmas))
+    s_id = gf.from_u64(
+        gl.np_mul(
+            np.array(common.k_is, dtype=np.uint64)[None, :],
+            prover_data.subgroup[:, None],
+        )
+    )
+    return _zs_device_fn(config.num_challenges, n, nr, chunk, num_prods)(
+        wires, sigmas, s_id, betas, gammas
+    )
 
 
 def _zs_and_partial_products(witness, betas, gammas, prover_data, common) -> np.ndarray:

@@ -89,3 +89,14 @@ def test_ext2_mul():
     for i in range(100):
         exp = ge.ext_mul(tuple(int(x) for x in a[i]), tuple(int(x) for x in b[i]))
         assert tuple(int(x) for x in got[i]) == exp
+
+
+def test_sum_mod_p_long_axis():
+    """Axes >= 2^16 reduce hierarchically (chunked 16-bit half-plane
+    sums) — regression for the degree-2^16 openings evaluation."""
+    rng = np.random.default_rng(11)
+    n = (1 << 16) + 7
+    x = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    want = int(np.sum(x.astype(object)) % gl.P)
+    got = int(np.asarray(gf.to_u64(gf.sum_mod_p(gf.from_u64(x)))))
+    assert got == want

@@ -44,3 +44,36 @@ def test_high_rate_config_strided_lde():
     assert data.common.quotient_degree_factor < (1 << 4)
     proof = data.prove(pw)
     data.verify(proof)
+
+
+def test_device_zs_matches_host():
+    """The device permutation-argument kernel (log-doubling prefix
+    products + scan batch inverse) is bit-equal to the host numpy path."""
+    import numpy as np
+
+    from plonky2_tpu.iop.generator import generate_partial_witness
+    from plonky2_tpu.ops import gf
+    from plonky2_tpu.plonk import prover as pp
+
+    data, pw = build_fibonacci(public_io=False)
+    witness = generate_partial_witness(
+        pw, data.prover_only, data.common
+    ).full_witness()
+    betas = [123456789, 987654321]
+    gammas = [111111111, 222222222]
+    want = pp._zs_and_partial_products(
+        witness, betas, gammas, data.prover_only, data.common
+    )
+    wires_dev = gf.from_u64(witness.wire_values)
+    got = np.asarray(
+        gf.to_u64(
+            pp._zs_and_partial_products_device(
+                wires_dev,
+                gf.from_u64(np.array(betas, dtype=np.uint64)),
+                gf.from_u64(np.array(gammas, dtype=np.uint64)),
+                data.prover_only,
+                data.common,
+            )
+        )
+    )
+    assert np.array_equal(got, want)
