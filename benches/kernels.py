@@ -49,18 +49,24 @@ POSEIDON_OPS_PER_PERM = (
 )  # ~ 30k u32 ops
 
 
-def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
-    """Median wall seconds of fn(*args) with block_until_ready."""
+def _force(out):
+    """Fetch one element to the host — block_until_ready alone is not
+    trustworthy on the remote (axon) TPU platform, where it was observed
+    to return before execution (2^24 NTT "finishing" in 0.04 ms)."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.reshape(-1)[:1])
+
+
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
+    """Median wall seconds of fn(*args), forced via a host fetch."""
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

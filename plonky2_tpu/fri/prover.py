@@ -41,11 +41,15 @@ def fri_proof(
     n = lde_polynomial_values[0].shape[0]
     assert lde_polynomial_coeffs[0].shape[0] == n
 
+    from ..parallel import context as pctx
+
     if (
         os.environ.get("PLONKY2_TPU_FUSED_FRI", "1") != "0"
         and max_num_query_steps is None
         and final_poly_coeff_len is None
         and (hasher is None or hasher.name == "poseidon")
+        and pctx.get_mesh() is None  # fused gathers crash under SPMD; the
+        # unfused path produces bit-identical proofs (tests/test_fri.py)
         and all(
             isinstance(t, merkle.DeviceMerkleTree) for t in initial_merkle_trees
         )

@@ -15,9 +15,6 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
-
 from ..field.goldilocks import P, gadd, gmul
 from .poseidon2_constants import (
     INITIAL_EXTERNAL_CONSTANTS,
@@ -165,6 +162,8 @@ def _permute_batch_impl(lanes):
     """[B, 12] batched permutation. Rounds run under lax.fori_loop with the
     round-constant tables as device arrays, keeping the compiled graph
     small; layers are vectorized across lanes (VPU-friendly)."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from ..ops import gf
@@ -225,4 +224,15 @@ def _permute_batch_impl(lanes):
     return state
 
 
-permute_batch = jax.jit(_permute_batch_impl)
+_permute_batch_jit = None
+
+
+def permute_batch(state):
+    """Vectorized device permutation; jax imported lazily so the
+    standalone (no-jax) verifier can import the Poseidon2 host hasher."""
+    global _permute_batch_jit
+    if _permute_batch_jit is None:
+        import jax
+
+        _permute_batch_jit = jax.jit(_permute_batch_impl)
+    return _permute_batch_jit(state)

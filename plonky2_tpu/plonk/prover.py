@@ -64,6 +64,17 @@ def prove(
     witness = partition_witness.full_witness()
     has_lookup = common.num_lookup_polys != 0
 
+    from . import device_transcript as dt
+
+    if dt.eligible(common, gc, has_lookup):
+        # everything after witness generation runs with the Fiat-Shamir
+        # transcript resident on device — no host syncs until assembly
+        with prof.annotate("prove/device-transcript"):
+            return dt.prove_device_transcript(
+                prover_data, common, partition_witness, public_inputs,
+                public_inputs_hash, gc,
+            )
+
     # 2. oracle 1 — wires
     wires_dev = gf.from_u64(witness.wire_values)  # [num_wires, n]
     with prof.annotate("prove/commit-wires"):
@@ -414,7 +425,10 @@ def _compute_quotient_polys(
     gammas,
     alphas,
     deltas=(),
+    device_challenges=False,
 ):
+    """device_challenges: betas/gammas/alphas are already [nc] device limb
+    pairs (possibly traced) — the device-transcript prover's path."""
     config = common.config
     qdb = common.quotient_degree_factor.bit_length() - 1
     assert (1 << qdb) == common.quotient_degree_factor
@@ -470,6 +484,12 @@ def _compute_quotient_polys(
                 )
         lut_evals_arr = gf.from_u64(ev)
     pts_sharding = pctx.rows_sharding(pctx.mesh_key())
+    if device_challenges:
+        betas_a, gammas_a, alphas_a = betas, gammas, alphas
+    else:
+        betas_a, gammas_a, alphas_a = (
+            pair_arr(betas), pair_arr(gammas), pair_arr(alphas)
+        )
     q_lo, q_hi = qfn(
         cs_nat,
         wires_nat,
@@ -477,9 +497,9 @@ def _compute_quotient_polys(
         pctx.put(gf.from_u64(shifted_xs), pts_sharding),
         pctx.put(gf.from_u64(l0), pts_sharding),
         pctx.put(gf.from_u64(zh_inv), pts_sharding),
-        pair_arr(betas),
-        pair_arr(gammas),
-        pair_arr(alphas),
+        betas_a,
+        gammas_a,
+        alphas_a,
         pair_arr(list(public_inputs_hash)),
         deltas=deltas_arr,
         lut_evals=lut_evals_arr,

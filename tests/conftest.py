@@ -20,6 +20,18 @@ if "xla_disable_hlo_passes" not in flags:
     flags += " --xla_disable_hlo_passes=fusion"
 os.environ["XLA_FLAGS"] = flags.strip()
 
+# The ambient environment PRELOADS jax via a PYTHONPATH sitecustomize
+# (the axon TPU plugin), which latches JAX_PLATFORMS at import — the env
+# var above is then too late and tests silently run on the single real
+# TPU (mesh fixtures degrade to 1 device). Force the backend through the
+# config API, which works until first backend use.
+import sys
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the prover compiles many per-shape kernels;
 # cache them across test sessions. Must be set via jax.config (env vars are
 # not picked up for the CPU backend in this jax version).

@@ -22,6 +22,8 @@ from plonky2_tpu.utils.serialization import proof_to_bytes
 
 @pytest.fixture(scope="module")
 def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (see conftest)")
     return pctx.make_prover_mesh(8)
 
 
@@ -81,6 +83,8 @@ def test_mesh_prove_2d_mesh_bit_identical():
 
     from plonky2_tpu.models.fibonacci import build_fibonacci
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (see conftest)")
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
     mesh2d = Mesh(devs, ("host", "chip"))
     data, pw = build_fibonacci(public_io=True)
