@@ -59,16 +59,25 @@ def _force(out):
     return np.asarray(leaf.reshape(-1)[:1])
 
 
-def _time_fn(fn, *args, warmup: int = 2, iters: int = 5) -> float:
-    """Median wall seconds of fn(*args), forced via a host fetch."""
+def _time_fn(fn, *args, warmup: int = 2, reps: int = 16) -> float:
+    """Per-call seconds of fn(*args), RTT-amortized: the remote (axon)
+    tunnel adds a ~33 ms floor to any host-observed completion, so time
+    k queued async dispatches ending in one forced fetch and use the
+    slope (t_k - t_1) / (k - 1) — the device-throughput cost per call."""
     for _ in range(warmup):
         _force(fn(*args))
-    ts = []
-    for _ in range(iters):
+
+    def run(k: int) -> float:
         t0 = time.perf_counter()
-        _force(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        out = None
+        for _ in range(k):
+            out = fn(*args)
+        _force(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(3))
+    tk = min(run(1 + reps) for _ in range(3))
+    return max((tk - t1) / reps, 1e-9)
 
 
 def bench_ntt(log_sizes=(16, 20, 24), batch: int = 1) -> List[Dict]:

@@ -19,8 +19,14 @@ row size), parity at 2^12. Rows ≥ 2^13 run the stage-split hybrid in
 row_fft_bitrev: the first MAX_FUSED_LOG post-bit-reversal stages fuse
 into one VMEM kernel (they act within contiguous blocks), the remaining
 cross-block stages run as XLA passes — log(N)+1 HBM passes drop to
-log(N)-MAX_FUSED_LOG+1. Opt-in via PLONKY2_TPU_PALLAS; the crossover vs
-plain XLA is measured by benches/kernels.py on real hardware.
+log(N)-MAX_FUSED_LOG+1.
+
+Crossover measured on the v5e (2026-08-17, loaded host — relative
+numbers): 64x2^12 pallas 33 vs XLA 35 ms (parity), 8x2^16 46 vs 34,
+1x2^20 234 vs 63 — the hybrid's fused head does not amortize its extra
+reshape/copy traffic at large rows, so the XLA path stays the default
+everywhere and these kernels remain opt-in (PLONKY2_TPU_PALLAS) for the
+≤2^12-row regime (six-step local work) where they win.
 """
 
 from __future__ import annotations
