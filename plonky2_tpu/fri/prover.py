@@ -320,10 +320,14 @@ def _fused_fri_proof(
     lde_polynomial_values,
     challenger,
     fri_params,
+    extra_flat=None,
 ):
     """fri_proof with one device round trip (see _fused_fri_fn).
     challenger: a host Challenger, or a DeviceChallengerState whose
-    state never left the device (device-transcript prover)."""
+    state never left the device (device-transcript prover).
+    extra_flat: optional 1-D limb pair appended to the flat transfer —
+    callers piggyback their own device data (caps/openings) onto the
+    single round trip; returns (proof, extra_np) when set."""
     import jax as _jax
 
     from ..hash.device_challenger import DeviceChallengerState
@@ -378,6 +382,9 @@ def _fused_fri_proof(
         parts_lo += [rows[0].reshape(-1), paths[0].reshape(-1)]
         parts_hi += [rows[1].reshape(-1), paths[1].reshape(-1)]
         meta.append((rows[0].shape, paths[0].shape))
+    if extra_flat is not None:
+        parts_lo.append(extra_flat[0])
+        parts_hi.append(extra_flat[1])
     flat = np.asarray(
         gf.to_u64((jnp.concatenate(parts_lo), jnp.concatenate(parts_hi)))
     )
@@ -443,12 +450,17 @@ def _fused_fri_proof(
                 steps=steps,
             )
         )
-    return FriProof(
+    proof = FriProof(
         commit_phase_merkle_caps=caps_np,
         query_round_proofs=rounds,
         final_poly=final_poly,
         pow_witness=pow_witness,
     )
+    if extra_flat is not None:
+        # the piggybacked caller data is the transfer's tail
+        extra_len = extra_flat[0].shape[0]
+        return proof, flat[len(flat) - extra_len :]
+    return proof
 
 
 _FUSED_COMMIT_CACHE = {}

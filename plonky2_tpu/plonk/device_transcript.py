@@ -45,8 +45,19 @@ from ..ops import gf, ntt
 
 
 def eligible(common, gc, has_lookup: bool) -> bool:
-    if os.environ.get("PLONKY2_TPU_DEVICE_TRANSCRIPT", "1") == "0":
+    mode = os.environ.get("PLONKY2_TPU_DEVICE_TRANSCRIPT", "auto")
+    if mode == "0":
         return False
+    if mode == "auto":
+        # default ON for real accelerators only: XLA:CPU on some hosts
+        # segfaults compiling these programs (same fragility as the
+        # fusion-pass miscompile worked around in tests/conftest.py);
+        # the CPU test suite covers this path via the explicit =1 tests
+        try:
+            if jax.default_backend() == "cpu":
+                return False
+        except Exception:
+            return False
     if os.environ.get("PLONKY2_TPU_FUSED_FRI", "1") == "0":
         return False
     if gc.hasher.name != "poseidon":
@@ -291,15 +302,8 @@ def prove_device_transcript(
     lde_coeffs = (jnp.pad(final_poly[0], pad), jnp.pad(final_poly[1], pad))
     lde_values = fk.ext_coset_fft(lde_coeffs)
 
-    opening_proof = _fused_fri_proof(
-        [o.merkle_tree for o in oracles],
-        lde_coeffs,
-        lde_values,
-        DeviceChallengerState(state4, zero_buf, 0),
-        common.fri_params,
-    )
-
-    # ---- single assembly transfer: 3 caps + the opening evals ----
+    # assembly data (3 caps + opening evals) piggybacks on the fused
+    # FRI program's single flat transfer — ONE host round trip total
     parts_lo = [
         wires_commitment.merkle_tree.cap[0].reshape(-1),
         zs_pp_commitment.merkle_tree.cap[0].reshape(-1),
@@ -312,8 +316,15 @@ def prove_device_transcript(
         quotient_commitment.merkle_tree.cap[1].reshape(-1),
         evals[1].reshape(-1),
     ]
-    flat = np.asarray(
-        gf.to_u64((jnp.concatenate(parts_lo), jnp.concatenate(parts_hi)))
+    extra_flat = (jnp.concatenate(parts_lo), jnp.concatenate(parts_hi))
+
+    opening_proof, flat = _fused_fri_proof(
+        [o.merkle_tree for o in oracles],
+        lde_coeffs,
+        lde_values,
+        DeviceChallengerState(state4, zero_buf, 0),
+        common.fri_params,
+        extra_flat=extra_flat,
     )
     cap_elems = cap_size * 4
     caps_np = [

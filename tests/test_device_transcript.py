@@ -10,12 +10,11 @@ from plonky2_tpu.utils.serialization import proof_to_bytes
 def _prove_both(build):
     data, pw = build()
     import plonky2_tpu.plonk.device_transcript as dt
-
-    assert dt.eligible(data.common, _gc(), False)
     import os
 
     os.environ["PLONKY2_TPU_DEVICE_TRANSCRIPT"] = "1"
     try:
+        assert dt.eligible(data.common, _gc(), False)
         dev = data.prove(pw)
         data.verify(dev)
         os.environ["PLONKY2_TPU_DEVICE_TRANSCRIPT"] = "0"
