@@ -92,30 +92,6 @@ def _observe_cap_draw_fn(in_len: int, cap_size: int, num_challenges: int):
     return f
 
 
-@lru_cache(maxsize=None)
-def _observe_openings_fn(in_len: int, layout: tuple):
-    """(state, inbuf, eval block) -> state/inbuf after observing the
-    opening set in to_fri_openings order. layout: tuple of
-    (offset, count) slices into the [rows, 2] eval block, in observation
-    order."""
-
-    @jax.jit
-    def f(state, inbuf, elo, ehi):
-        dch = DeviceChallenger.from_arrays(state, inbuf, in_len)
-        for off, cnt in layout:
-            for i in range(off, off + cnt):
-                dch.observe_extension(((elo[i, 0], ehi[i, 0]), (elo[i, 1], ehi[i, 1])))
-        # draw the FRI reduction challenge alpha in the same program
-        alpha = dch.get_extension_challenge()
-        (slo, shi), _n_out, n_in = dch.export()
-        assert n_in == 0
-        alo = jnp.stack([alpha[0][0], alpha[1][0]])
-        ahi = jnp.stack([alpha[0][1], alpha[1][1]])
-        return (alo, ahi), (slo, shi)
-
-    return f
-
-
 def _ext2_pow_static(x: gf.Gf, e: int) -> gf.Gf:
     """x^e for a shape-(2,) extension scalar, static exponent."""
     result = gf.ext2_const((1, 0))
@@ -168,26 +144,64 @@ def _reduce_openings_device(instance, oracles, alpha: gf.Gf, points: List[gf.Gf]
     return final
 
 
-@lru_cache(maxsize=None)
-def _eval_at_zeta_fn(n: int):
-    @jax.jit
-    def f(poly_groups, zeta):
-        g = gl.primitive_root_of_unity((n - 1).bit_length())
-        # zeta_next = g * zeta (component-wise base scalar mul)
-        zeta_next = gf.mul(zeta, gf.full((2,), g))
-        pz = gf.ext2_powers_scan(zeta, n)  # [n, 2]
-        pn = gf.ext2_powers_scan(zeta_next, n)
-        return (
-            fo._eval_many_jit(
-                poly_groups,
-                (pz[0][:, 0], pz[1][:, 0]),
-                (pz[0][:, 1], pz[1][:, 1]),
-                (pn[0][:, 0], pn[1][:, 0]),
-                (pn[0][:, 1], pn[1][:, 1]),
-            ),
-            zeta_next,
-        )
+_OPEN_REDUCE_CACHE = {}
 
+
+def _open_reduce(common, prover_data, layout: tuple):
+    """One compiled program per circuit for the whole openings phase:
+    observe quotient cap, squeeze zeta, evaluate every oracle at
+    (zeta, g*zeta), observe the opening set, squeeze the FRI alpha,
+    reduce the openings to the final polynomial and LDE it."""
+    key = (tuple(prover_data.circuit_digest), layout)
+    fn = _OPEN_REDUCE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    instance = common.get_fri_instance(ge.ext_one(2))  # structure only
+    g = gl.primitive_root_of_unity(common.degree_bits)
+    n = common.degree
+    lde_size = common.fri_params.lde_size
+
+    class _View:
+        def __init__(self, polys):
+            self.polynomials = polys
+
+    @jax.jit
+    def f(state, inbuf, q_cap, poly_groups):
+        dch = DeviceChallenger.from_arrays(state, inbuf, 0)
+        dch.observe_cap_rows(q_cap)
+        z0, z1 = dch.get_extension_challenge()
+        zeta = (jnp.stack([z0[0], z1[0]]), jnp.stack([z0[1], z1[1]]))
+        zeta_next = gf.mul(zeta, gf.full((2,), g))
+        pz = gf.ext2_powers_scan(zeta, n)
+        pn = gf.ext2_powers_scan(zeta_next, n)
+        evals = fo._eval_many_jit(
+            poly_groups,
+            (pz[0][:, 0], pz[1][:, 0]),
+            (pz[0][:, 1], pz[1][:, 1]),
+            (pn[0][:, 0], pn[1][:, 0]),
+            (pn[0][:, 1], pn[1][:, 1]),
+        )
+        elo, ehi = evals
+        for off, cnt in layout:
+            for i in range(off, off + cnt):
+                dch.observe_extension(
+                    ((elo[i, 0], ehi[i, 0]), (elo[i, 1], ehi[i, 1]))
+                )
+        a0, a1 = dch.get_extension_challenge()
+        alpha = (jnp.stack([a0[0], a1[0]]), jnp.stack([a0[1], a1[1]]))
+        views = [_View(pg) for pg in poly_groups]
+        final_poly = _reduce_openings_device(
+            instance, views, alpha, [zeta, zeta_next]
+        )
+        pad = [(0, lde_size - final_poly[0].shape[0]), (0, 0)]
+        lde_coeffs = (jnp.pad(final_poly[0], pad), jnp.pad(final_poly[1], pad))
+        lde_values = fk.ext_coset_fft(lde_coeffs)
+        (slo, shi), _n_out, n_in = dch.export()
+        assert n_in == 0
+        return evals, lde_coeffs, lde_values, (slo, shi)
+
+    _OPEN_REDUCE_CACHE[key] = f
     return f
 
 
@@ -259,13 +273,10 @@ def prove_device_transcript(
         hasher=hasher,
     )
 
-    # boundary 3: quotient cap -> zeta
-    zt, state3 = _observe_cap_draw_fn(0, cap_size, 2)(
-        state2, zero_buf, quotient_commitment.merkle_tree.cap
-    )
-    # challenger pops from the end: first drawn scalar is component 0
-    zeta = (zt[0], zt[1])  # [2] pair in draw order
-
+    # boundaries 3+4 fused: quotient cap -> zeta -> openings eval ->
+    # observe -> alpha -> reduction -> final-poly LDE, all ONE program
+    # (running these as eager ops costs dozens of tunnel dispatches —
+    # measured 7x slower than the host path before fusing)
     oracles = [
         prover_data.constants_sigmas_commitment,
         wires_commitment,
@@ -273,10 +284,6 @@ def prove_device_transcript(
         quotient_commitment,
     ]
     poly_groups = tuple(tuple(o.polynomials) for o in oracles)
-    evals, zeta_next = _eval_at_zeta_fn(n)(poly_groups, zeta)
-
-    # boundary 4: observe openings (to_fri_openings order) + draw alpha.
-    # eval block rows: zeta block then zeta_next block, each oracle padded
     offsets = []
     pos = 0
     for o in oracles:
@@ -289,18 +296,10 @@ def prove_device_transcript(
         layout.append((offsets[idx], o.num_polys))
     # zeta_next batch: zs only (first nc of the zs_pp oracle)
     layout.append((zeta_next_base + offsets[2], nc))
-    alpha_pair, state4 = _observe_openings_fn(0, tuple(layout))(
-        state3, zero_buf, evals[0], evals[1]
-    )
-    alpha = (alpha_pair[0], alpha_pair[1])
 
-    instance = common.get_fri_instance(ge.ext_one(2))  # structure only
-    final_poly = _reduce_openings_device(instance, oracles, alpha, [zeta, zeta_next])
-
-    lde_size = common.fri_params.lde_size
-    pad = [(0, lde_size - final_poly[0].shape[0]), (0, 0)]
-    lde_coeffs = (jnp.pad(final_poly[0], pad), jnp.pad(final_poly[1], pad))
-    lde_values = fk.ext_coset_fft(lde_coeffs)
+    evals, lde_coeffs, lde_values, state4 = _open_reduce(
+        common, prover_data, tuple(layout)
+    )(state2, zero_buf, quotient_commitment.merkle_tree.cap, poly_groups)
 
     # assembly data (3 caps + opening evals) piggybacks on the fused
     # FRI program's single flat transfer — ONE host round trip total
