@@ -96,14 +96,29 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     profile_dir = os.environ.get("BENCH_PROFILE")
-    if profile_dir:
-        from plonky2_tpu.utils.profiling import trace
+    try:
+        if profile_dir:
+            from plonky2_tpu.utils.profiling import trace
 
-        with trace(profile_dir):
+            with trace(profile_dir):
+                dt = _bench_fibonacci()
+            print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+        else:
             dt = _bench_fibonacci()
-        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
-    else:
-        dt = _bench_fibonacci()
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "fibonacci_prove_wall_time",
+                    "value": -1,
+                    "unit": "ms",
+                    "vs_baseline": 0,
+                    "extra": {"error": traceback.format_exc(limit=2).splitlines()[-1]},
+                }
+            )
+        )
+        return
     baseline_s = 0.300  # whitepaper: recursive proof on 2021 laptop
 
     extra = {}
