@@ -37,7 +37,11 @@ with open(__PATH__, "rb") as f:
 proof_b, vd_b, common_b = blobs
 
 common = sv.common_data_from_bytes(common_b)
-vd = sv.verifier_data_from_bytes(vd_b)
+# verifier_data_from_bytes mirrors the reference's VerifierCircuitData
+# wire layout (verifier_only || common); the embedded common must agree
+# with the standalone blob
+vd, common_embedded = sv.verifier_data_from_bytes(vd_b)
+assert common_embedded.degree_bits == common.degree_bits
 pwp = sv.proof_from_bytes(proof_b, common)
 
 sv.verify(pwp, vd, common)
