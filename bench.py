@@ -65,6 +65,60 @@ def _bench_large_circuit(log2_size: int = 16):
     }
 
 
+def _bench_recursive_proof(inner_log2: int = 12):
+    """The whitepaper's headline: '~300 ms to generate a recursive proof
+    on a 2021 MacBook Air' (BASELINE.md). Times the prove() of a circuit
+    that verifies an inner 2^inner_log2-gate proof; also reports the
+    compressed-proof size vs the ~43 KB yardstick."""
+    from plonky2_tpu.models.bench_recursion import dummy_proof, recursive_proof
+    from plonky2_tpu.plonk.compressed_proof import compress_proof
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.plonk.prover import prove
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.proof_target import (
+        add_virtual_proof_with_pis,
+        set_proof_with_pis_target,
+    )
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.recursive_verifier import (
+        add_virtual_verifier_data,
+        set_verifier_data_target,
+        verify_proof_circuit,
+    )
+
+    config = CircuitConfig.standard_recursion_config()
+    inner = dummy_proof(config, inner_log2)
+    inner_proof, inner_vd, inner_cd = inner
+    b = CircuitBuilder(config)
+    pt = add_virtual_proof_with_pis(b, inner_cd)
+    vd_t = add_virtual_verifier_data(b, inner_cd.fri_params.config.cap_height)
+    verify_proof_circuit(b, pt, vd_t, inner_cd)
+    data = b.build()
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, inner_proof)
+    set_verifier_data_target(pw, vd_t, inner_vd)
+    pwp = data.prove(pw)  # warmup (compiles cached)
+    data.verify(pwp)
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        pwp = data.prove(pw)
+    dt = (time.perf_counter() - t0) / runs
+    compressed = compress_proof(pwp, data.verifier_only, data.common)
+    from plonky2_tpu.utils.serialization import compressed_proof_to_bytes
+
+    size = len(compressed_proof_to_bytes(compressed, data.common))
+    return {
+        "metric": f"recursive_proof_over_2^{inner_log2}_inner",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "vs_whitepaper_300ms": round(0.300 / dt, 2),
+        "outer_degree_bits": data.common.degree_bits,
+        "compressed_proof_bytes": size,
+        "vs_whitepaper_43KB": round(43_000 / size, 2),
+    }
+
+
 def _bench_stark(log2_rows: int = 22):
     from plonky2_tpu.stark.config import StarkConfig
     from plonky2_tpu.stark.fixtures import FibonacciStark, fibonacci_res
@@ -134,6 +188,7 @@ def main():
             return run_kernel_suite()
 
         for name, fn in (
+            ("recursive_proof", _bench_recursive_proof),
             ("kernels", _kernels),
             ("stark", lambda: _bench_stark(stark_log2)),
             ("large_circuit", lambda: _bench_large_circuit(large_log2)),

@@ -64,6 +64,56 @@ class SquareRootGenerator(SimpleGenerator):
         out.set_target(self.x, x)
 
 
+def fibonacci_serialization(out_dir: str) -> dict:
+    """Build + prove the fibonacci circuit and persist the three circuit
+    artifacts to files, then reload and verify them from disk
+    (examples/fibonacci_serialization.rs:44-67 — the reference writes
+    common_circuit_data / verifier_only_circuit_data / proof files; it
+    uses serde JSON, this build uses its binary wire format, the
+    capability being persist-and-reload of every verification artifact).
+    Returns the written paths."""
+    import os
+
+    from .fibonacci import build_fibonacci
+    from ..plonk.verifier import verify
+    from ..utils.serialization import (
+        common_data_from_bytes,
+        common_data_to_bytes,
+        proof_from_bytes,
+        proof_to_bytes,
+        verifier_data_from_bytes,
+        verifier_data_to_bytes,
+    )
+
+    data, pw = build_fibonacci(public_io=True)
+    pwp = data.prove(pw)
+
+    paths = {
+        "common_circuit_data": os.path.join(out_dir, "common_circuit_data.bin"),
+        "verifier_only_circuit_data": os.path.join(
+            out_dir, "verifier_only_circuit_data.bin"
+        ),
+        "proof_with_public_inputs": os.path.join(
+            out_dir, "proof_with_public_inputs.bin"
+        ),
+    }
+    with open(paths["common_circuit_data"], "wb") as f:
+        f.write(common_data_to_bytes(data.common))
+    with open(paths["verifier_only_circuit_data"], "wb") as f:
+        f.write(verifier_data_to_bytes(data.verifier_only, data.common))
+    with open(paths["proof_with_public_inputs"], "wb") as f:
+        f.write(proof_to_bytes(pwp, data.common))
+
+    with open(paths["common_circuit_data"], "rb") as f:
+        common = common_data_from_bytes(f.read())
+    with open(paths["verifier_only_circuit_data"], "rb") as f:
+        verifier_only, _ = verifier_data_from_bytes(f.read())
+    with open(paths["proof_with_public_inputs"], "rb") as f:
+        loaded = proof_from_bytes(f.read(), common)
+    verify(loaded, verifier_only, common)
+    return paths
+
+
 def build_square_root(x: int = 8589934592):
     """Proves knowledge of a square root of the public input
     (square_root.rs:76-131)."""

@@ -46,3 +46,15 @@ def test_bench_recursion_chain():
         CircuitConfig.standard_recursion_config(), 4, verbose=False
     )
     assert info["proof_bytes"] > 0 and info["common_data_bytes"] > 0
+
+
+def test_fibonacci_serialization(tmp_path):
+    """Persist proof + circuit artifacts to disk, reload, verify
+    (reference: examples/fibonacci_serialization.rs)."""
+    from plonky2_tpu.models.examples import fibonacci_serialization
+
+    paths = fibonacci_serialization(str(tmp_path))
+    import os
+
+    for p in paths.values():
+        assert os.path.getsize(p) > 0
