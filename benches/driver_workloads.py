@@ -1,0 +1,235 @@
+"""Benchmark workloads, one per subprocess (invoked by bench.py).
+
+Each workload prints one or more JSON lines to stdout; the LAST line is
+the result the orchestrator records. Printing intermediate lines (e.g.
+after the cold warmup) means a workload killed by its timeout still
+reports whatever it finished — the orchestrator salvages partial stdout.
+
+Run directly: ``python -m benches.driver_workloads <name> [args...]``.
+
+Reference workloads these mirror: plonky2/examples/fibonacci.rs (e2e),
+examples/bench_recursion.rs (recursive proof), starky 2^22 north star
+(BASELINE.md), plonky2/benches/*.rs (kernels.py suite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _say(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _init_jax():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_tpu")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def fib(device_transcript: bool) -> None:
+    """End-to-end fibonacci prove (examples/fibonacci.rs). Headline."""
+    os.environ["PLONKY2_TPU_DEVICE_TRANSCRIPT"] = "1" if device_transcript else "0"
+    _init_jax()
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+
+    t0 = time.perf_counter()
+    data, pw = build_fibonacci(public_io=False)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = data.prove(pw)
+    cold_s = time.perf_counter() - t0
+    data.verify(proof)
+    _say({"ms": cold_s * 1e3, "cold_s": round(cold_s, 1), "note": "cold only"})
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        proof = data.prove(pw)
+    warm_s = (time.perf_counter() - t0) / runs
+    _say(
+        {
+            "ms": round(warm_s * 1e3, 3),
+            "cold_s": round(cold_s, 1),
+            "build_s": round(build_s, 1),
+        }
+    )
+
+
+def recursive(inner_log2: int = 12) -> None:
+    """The whitepaper headline workload: prove a circuit that verifies an
+    inner 2^inner_log2-gate proof (~300 ms / 2021 MacBook Air yardstick,
+    BASELINE.md); also reports compressed-proof size vs ~43 KB."""
+    _init_jax()
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.models.bench_recursion import dummy_proof
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.compressed_proof import compress_proof
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.plonk.proof_target import (
+        add_virtual_proof_with_pis,
+        set_proof_with_pis_target,
+    )
+    from plonky2_tpu.plonk.recursive_verifier import (
+        add_virtual_verifier_data,
+        set_verifier_data_target,
+        verify_proof_circuit,
+    )
+    from plonky2_tpu.utils.serialization import compressed_proof_to_bytes
+
+    config = CircuitConfig.standard_recursion_config()
+    t0 = time.perf_counter()
+    inner_proof, inner_vd, inner_cd = dummy_proof(config, inner_log2)
+    _say({"note": "inner proof done", "inner_s": round(time.perf_counter() - t0, 1)})
+    b = CircuitBuilder(config)
+    pt = add_virtual_proof_with_pis(b, inner_cd)
+    vd_t = add_virtual_verifier_data(b, inner_cd.fri_params.config.cap_height)
+    verify_proof_circuit(b, pt, vd_t, inner_cd)
+    data = b.build()
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, inner_proof)
+    set_verifier_data_target(pw, vd_t, inner_vd)
+    t0 = time.perf_counter()
+    pwp = data.prove(pw)
+    cold_s = time.perf_counter() - t0
+    data.verify(pwp)
+    base = {
+        "metric": f"recursive_proof_over_2^{inner_log2}_inner",
+        "unit": "ms",
+        "outer_degree_bits": data.common.degree_bits,
+        "cold_s": round(cold_s, 1),
+    }
+    _say({**base, "value": round(cold_s * 1e3, 1), "note": "cold only"})
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        pwp = data.prove(pw)
+    dt = (time.perf_counter() - t0) / runs
+    compressed = compress_proof(pwp, data.verifier_only, data.common)
+    size = len(compressed_proof_to_bytes(compressed, data.common))
+    _say(
+        {
+            **base,
+            "value": round(dt * 1e3, 1),
+            "vs_whitepaper_300ms": round(0.300 / dt, 2),
+            "compressed_proof_bytes": size,
+            "vs_whitepaper_43KB": round(43_000 / size, 2),
+        }
+    )
+
+
+def stark(log2_rows: int = 22) -> None:
+    """FibonacciStark over a 2^log2_rows-row trace (BASELINE north star)."""
+    _init_jax()
+    from plonky2_tpu.stark.config import StarkConfig
+    from plonky2_tpu.stark.fixtures import FibonacciStark, fibonacci_res
+    from plonky2_tpu.stark.prover import prove as sprove
+    from plonky2_tpu.stark.verifier import verify_stark_proof
+
+    n = 1 << log2_rows
+    st = FibonacciStark(n)
+    config = StarkConfig.standard_fast_config()
+    t0 = time.perf_counter()
+    trace = st.generate_trace(0, 1)
+    trace_s = time.perf_counter() - t0
+    pis = [0, 1, fibonacci_res(n, 0, 1)]
+    base = {"metric": f"fibonacci_stark_2^{log2_rows}_rows", "unit": "ms"}
+    t0 = time.perf_counter()
+    proof = sprove(st, config, trace, pis)
+    cold_s = time.perf_counter() - t0
+    _say({**base, "value": round(cold_s * 1e3, 1), "note": "cold only"})
+    t0 = time.perf_counter()
+    proof = sprove(st, config, trace, pis)
+    dt = time.perf_counter() - t0
+    verify_stark_proof(st, proof, config, log2_rows)
+    _say(
+        {
+            **base,
+            "value": round(dt * 1e3, 1),
+            "cold_s": round(cold_s, 1),
+            "trace_gen_s": round(trace_s, 1),
+        }
+    )
+
+
+def large(log2_size: int = 16) -> None:
+    """Prove a 2^log2_size-gate circuit — the size class where device
+    throughput, not dispatch latency, dominates."""
+    _init_jax()
+    from plonky2_tpu.gates.basic import NoopGate
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.plonk.prover import prove
+
+    config = CircuitConfig.standard_recursion_config()
+    t0 = time.perf_counter()
+    b = CircuitBuilder(config)
+    for _ in range((1 << (log2_size - 1)) + 1):
+        b.add_gate(NoopGate(), [])
+    data = b.build()
+    build_s = time.perf_counter() - t0
+    base = {
+        "metric": f"plonk_prove_2^{log2_size}_gates",
+        "unit": "ms",
+        "build_s": round(build_s, 1),
+        "degree_bits": data.common.degree_bits,
+    }
+    t0 = time.perf_counter()
+    pwp = prove(data.prover_only, data.common, PartialWitness())
+    cold_s = time.perf_counter() - t0
+    data.verify(pwp)
+    _say({**base, "value": round(cold_s * 1e3, 1), "note": "cold only"})
+    t0 = time.perf_counter()
+    prove(data.prover_only, data.common, PartialWitness())
+    dt = time.perf_counter() - t0
+    _say({**base, "value": round(dt * 1e3, 1), "cold_s": round(cold_s, 1)})
+
+
+def kernels() -> None:
+    """The benches/kernels.py SoL suite; prints each kernel's record as it
+    completes (partial results survive a timeout), then the full list."""
+    _init_jax()
+    from benches.kernels import (
+        bench_fri_fold,
+        bench_lde_commit,
+        bench_merkle,
+        bench_ntt,
+        bench_poseidon,
+    )
+
+    results = []
+    for part in (
+        lambda: bench_ntt((16, 20), batch=1),
+        lambda: bench_ntt((16,), batch=64),
+        lambda: bench_ntt((24,), batch=1),
+        lambda: bench_poseidon(20),
+        lambda: bench_merkle(20, 135),
+        lambda: bench_fri_fold(22, 4),
+        lambda: bench_lde_commit(16, 143, 3),
+    ):
+        results += part()
+        _say(results)
+
+
+WORKLOADS = {
+    "fib_host": lambda args: fib(False),
+    "fib_device": lambda args: fib(True),
+    "recursive": lambda args: recursive(int(args[0]) if args else 12),
+    "stark": lambda args: stark(int(args[0]) if args else 22),
+    "large": lambda args: large(int(args[0]) if args else 16),
+    "kernels": lambda args: kernels(),
+}
+
+
+if __name__ == "__main__":
+    name = sys.argv[1]
+    WORKLOADS[name](sys.argv[2:])

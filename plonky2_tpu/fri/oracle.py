@@ -97,7 +97,12 @@ class PolynomialBatch:
         if blinding:
             # SALT_SIZE random leaf columns hide the committed rows
             # (oracle.rs:243-264); salts never join the algebraic openings.
-            rng = np.random.default_rng()
+            # PLONKY2_TPU_SALT_SEED pins the salt stream for drift tests
+            # (host path vs device transcript) — unset in production.
+            import os as _os
+
+            _seed = _os.environ.get("PLONKY2_TPU_SALT_SEED")
+            rng = np.random.default_rng(int(_seed) if _seed else None)
             salt_u64 = rng.integers(
                 0, gl.P, size=(degree << rate_bits, SALT_SIZE), dtype=np.uint64
             )

@@ -28,6 +28,16 @@ from .proof import (
 )
 
 
+def fused_fri_spmd_enabled() -> bool:
+    """Whether the fused (single-program) FRI path also runs under a mesh.
+    Default ON: the round-2 'fused gathers crash under SPMD' note was the
+    XLA:CPU fusion/algsimp pass bug (worked around in tests/conftest.py),
+    not an SPMD-semantics problem — gathers from row-sharded tree arrays
+    are plain GSPMD gathers. PLONKY2_TPU_FUSED_FRI_SPMD=0 restores the
+    per-phase (unfused) mesh path."""
+    return os.environ.get("PLONKY2_TPU_FUSED_FRI_SPMD", "1") != "0"
+
+
 def fri_proof(
     initial_merkle_trees: Sequence[merkle.DeviceMerkleTree],
     lde_polynomial_coeffs: gf.Gf,  # extension [lde_n, 2]
@@ -48,8 +58,7 @@ def fri_proof(
         and max_num_query_steps is None
         and final_poly_coeff_len is None
         and (hasher is None or hasher.name == "poseidon")
-        and pctx.get_mesh() is None  # fused gathers crash under SPMD; the
-        # unfused path produces bit-identical proofs (tests/test_fri.py)
+        and (pctx.get_mesh() is None or fused_fri_spmd_enabled())
         and all(
             isinstance(t, merkle.DeviceMerkleTree) for t in initial_merkle_trees
         )

@@ -13,9 +13,8 @@ here by *seeding* the DIT at a coarser stage: the first r stages of a
 DIT on input whose nonzero coefficients all sit in the low N slots act
 on blocks whose butterflies only copy/scale, so we replicate the
 bit-reversed base array across the 2^r sub-lattices with the
-appropriate coset scaling instead of running those stages.
-(Round-1 note: the straightforward pad-then-transform path is used;
-the seeded variant lands with the Pallas kernel.)
+appropriate coset scaling instead of running those stages
+(see lde_onto_coset below).
 
 Fiat–Shamir contract: ``fft(coeffs)[i] = poly(g^i)`` with g the
 canonical 2^k-th root (POWER_OF_TWO_GENERATOR lineage), matching the

@@ -3,7 +3,7 @@
 The XLA path (ops/gf.py, ops/ntt.py) already runs on TPU; these kernels
 fuse the u32-limb field arithmetic so a whole chain of elementwise ops —
 or every butterfly stage of a VMEM-resident row NTT — happens in one
-VMEM residency instead of bouncing each intermediate через HBM
+VMEM residency instead of bouncing each intermediate through HBM
 (HBM bandwidth is the bottleneck per the TPU programming model; see
 /opt/skills/guides/pallas_guide.md).
 

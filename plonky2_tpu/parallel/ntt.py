@@ -127,6 +127,110 @@ def six_step_ifft(x: gf.Gf, mesh: Mesh, axis_name: str = "x") -> gf.Gf:
 
 
 # ---------------------------------------------------------------------------
+# Batched six-step coset-IFFT, composable inside a jitted prover program.
+# Used by the quotient pipeline (plonk/prover.py _quotient_chunks_fn): the
+# quotient values arrive domain-sharded from the constraint kernel, and the
+# coset-IFFT back to coefficients runs WITHOUT replicating the domain — the
+# butterflies stay shard-local, only the three transposes cross chips
+# (SURVEY §5.7: the reference's single-node coset_ifft, field/src/fft.rs,
+# re-expressed so per-chip memory is N/d, not N).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def coset_ifft_tables(n_log: int, shift: int) -> Tuple[np.ndarray, ...]:
+    """Host-precomputed tables for six_step_coset_ifft at size 2^n_log:
+    (tw_lo, tw_hi) [N1, N2] inverse six-step twiddles, plus the separable
+    coset/scale factors s1 [N1] (carrying 1/N and shift^-(k2? no — k1*N2))
+    and s2 [N2]: coeff k = k1*N2 + k2 is scaled by shift^-k / N
+    = (shift^-N2)^k1 / N * shift^-k2 — an outer product of two small
+    vectors, so the full [N] scale never materializes."""
+    n = 1 << n_log
+    n1_log = n_log // 2
+    n2_log = n_log - n1_log
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    tw_lo, tw_hi = _twiddles(n1_log, n2_log, inverse=True)
+    sinv = gl.ginv(shift % gl.P)
+    n_inv = gl.ginv(n % gl.P)
+    s1 = gl.np_mul(gl.np_powers(gl.gexp(sinv, n2), n1), np.uint64(n_inv))  # [N1]
+    s2 = gl.np_powers(sinv, n2)  # [N2]
+    return (tw_lo, tw_hi, *_split(s1), *_split(s2))
+
+
+def _split(x_u64: np.ndarray):
+    x = np.asarray(x_u64, dtype=np.uint64)
+    return (
+        (x & np.uint64(0xFFFF_FFFF)).astype(np.uint32),
+        (x >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+def six_step_coset_ifft_batch(q: gf.Gf, tables, mesh: Mesh, axis_name):
+    """Coset-IFFT of a batch [M, N] (values on shift*H, natural order ->
+    coefficients), domain-sharded: call INSIDE a jitted program. ``tables``
+    are the device arrays from coset_ifft_tables (twiddles sharded like the
+    data, scale vectors replicated). The 1/N and shift^-k scales are folded
+    into the separable s1/s2 factors. axis_name: a mesh axis name or tuple
+    of names (multi-host meshes flatten over both)."""
+    tw_lo, tw_hi, s1_lo, s1_hi, s2_lo, s2_hi = tables
+    m, n = q[0].shape
+    n_log = log2_strict(n)
+    n1_log = n_log // 2
+    n2_log = n_log - n1_log
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    roots2 = ntt.stage_roots(n2_log, True)
+    roots1 = ntt.stage_roots(n1_log, True)
+    ax = axis_name if isinstance(axis_name, tuple) else (axis_name,)
+    d = 1
+    for a in ax:
+        d *= mesh.shape[a]
+    assert n1 % d == 0 and n2 % d == 0, "mesh must divide both factors"
+
+    def local(xlo, xhi, twlo, twhi, s1lo, s1hi, s2lo, s2hi):
+        # x: [M, N2/d, N1] rows n2 (n = n1 + N1*n2); same dance as
+        # six_step_fft with a leading batch axis and inverse roots
+        def tr(a):
+            z = jax.lax.all_to_all(a, ax, split_axis=2, concat_axis=1, tiled=True)
+            return jnp.swapaxes(z, 1, 2)
+
+        def transpose(y):
+            return tr(y[0]), tr(y[1])
+
+        y = (xlo, xhi)
+        y = transpose(y)  # [M, N1/d, N2] rows n1
+        y = ntt._butterflies(ntt.bit_reverse(y), roots2)  # FFT over n2
+        y = gf.mul(y, (twlo[None], twhi[None]))  # w_N^(-n1*k2)
+        y = transpose(y)  # [M, N2/d, N1] rows k2
+        y = ntt._butterflies(ntt.bit_reverse(y), roots1)  # FFT over n1
+        y = transpose(y)  # [M, N1/d, N2] rows k1
+        # coeff k = k1*N2 + k2: scale by s1[k1] * s2[k2] (outer product)
+        shard = jnp.int32(0)
+        for a in ax:
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)
+        k1 = shard * (n1 // d) + jnp.arange(n1 // d)
+        s1l = jnp.take(s1lo, k1)
+        s1h = jnp.take(s1hi, k1)
+        scale = gf.mul(
+            (s1l[:, None], s1h[:, None]), (s2lo[None, :], s2hi[None, :])
+        )  # [N1/d, N2]
+        y = gf.mul(y, (scale[0][None], scale[1][None]))
+        return y
+
+    spec = P(None, ax, None)
+    tw_spec = P(ax, None)
+    rep = P(None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, tw_spec, tw_spec, rep, rep, rep, rep),
+        out_specs=(spec, spec),
+    )
+    xm = (q[0].reshape(m, n2, n1), q[1].reshape(m, n2, n1))
+    out = fn(xm[0], xm[1], tw_lo, tw_hi, s1_lo, s1_hi, s2_lo, s2_hi)
+    return out[0].reshape(m, n), out[1].reshape(m, n)
+
+
+# ---------------------------------------------------------------------------
 # Sharded Merkle commitment: per-shard subtrees + cross-shard cap reduction
 # (SURVEY §2.8 tree parallelism; merkle_tree.rs:112-144's subtree split
 # becomes the mesh axis)

@@ -13,10 +13,16 @@ Two host reads total: the FRI flat transfer and one caps+openings
 transfer for proof assembly.
 
 Eligibility (falls back to the host path otherwise): Poseidon hasher,
-no zero-knowledge blinding, no lookups, fused-FRI-eligible params.
-Proofs are bit-identical to the host path (the device challenger is
-bit-exact with the host duplex) — pinned by
-tests/test_device_transcript.py.
+fused-FRI-eligible params. Zero-knowledge circuits are supported
+(salt-blinded oracles per ORACLE_BLINDING; plonk opening expressions
+stay single-polynomial under zk, so the device reduction is unchanged)
+and so are lookup circuits (deltas drawn at boundary 1, RE/partial-SLDC
+columns via the device kernel _lookup_polys_device, LUT-poly evals at
+traced deltas). Proofs are bit-identical to the host path (the device
+challenger is bit-exact with the host duplex) — pinned by
+tests/test_device_transcript.py (zk equality under a fixed
+PLONKY2_TPU_SALT_SEED; zk salts are otherwise random, as in the
+reference).
 
 Reference dual: there is none — the reference's prover is
 CPU-resident so its transcript has no device boundary
@@ -62,14 +68,15 @@ def eligible(common, gc, has_lookup: bool) -> bool:
         return False
     if gc.hasher.name != "poseidon":
         return False
-    if common.config.zero_knowledge or has_lookup:
-        return False
     from ..parallel import context as pctx
 
-    # mesh proving keeps the host transcript (sharded fused transcript
-    # programs are future work); single-chip only for now
     if pctx.get_mesh() is not None:
-        return False
+        # mesh + device transcript compose through the same fused FRI
+        # program (the commitments/quotient inside this prover are
+        # already mesh-sharded); requires the SPMD fused-FRI path
+        from ..fri.prover import fused_fri_spmd_enabled
+
+        return fused_fri_spmd_enabled()
     return True
 
 
@@ -107,8 +114,9 @@ def _ext2_pow_static(x: gf.Gf, e: int) -> gf.Gf:
 
 def _reduce_openings_device(instance, oracles, alpha: gf.Gf, points: List[gf.Gf]) -> gf.Gf:
     """reduce_openings_to_final_poly with alpha/points as device scalars
-    (fri/oracle.py host dual). Non-zk only: every opening expression is
-    a single raw polynomial, so batch weights are pure alpha powers."""
+    (fri/oracle.py host dual). Plonk-only: every opening expression is
+    a single raw polynomial (true with or without zk — salts never join
+    the algebraic openings), so batch weights are pure alpha powers."""
     final = None
     for b, batch in enumerate(instance.batches):
         openings = batch.openings
@@ -222,10 +230,22 @@ def prove_device_transcript(
     hasher = gc.hasher
     n = common.degree
 
+    from .circuit_data import (
+        ORACLE_BLINDING,
+        ORACLE_QUOTIENT,
+        ORACLE_WIRES,
+        ORACLE_ZS_PARTIAL_PRODUCTS,
+    )
+
+    zk = config.zero_knowledge
     witness = partition_witness.full_witness()
     wires_dev = gf.from_u64(witness.wire_values)
     wires_commitment = fo.PolynomialBatch.from_values(
-        wires_dev, fri_config.rate_bits, False, fri_config.cap_height, hasher=hasher
+        wires_dev,
+        fri_config.rate_bits,
+        zk and ORACLE_BLINDING[ORACLE_WIRES],
+        fri_config.cap_height,
+        hasher=hasher,
     )
 
     # transcript preamble on the host duplex (static/config values only)
@@ -236,18 +256,36 @@ def prove_device_transcript(
     st = DeviceChallengerState.from_host(host_ch)
     cap_size = 1 << fri_config.cap_height
 
-    # boundary 1: wires cap -> betas ++ gammas
-    bg, state1 = _observe_cap_draw_fn(st.in_len, cap_size, 2 * nc)(
+    # boundary 1: wires cap -> betas ++ gammas (++ the extra lookup coins:
+    # deltas = betas ++ gammas ++ additional, prover.rs:232-245 order)
+    has_lookup = common.num_lookup_polys != 0
+    from .vanishing import NUM_COINS_LOOKUP
+
+    n_draw = (NUM_COINS_LOOKUP * nc) if has_lookup else (2 * nc)
+    bg, state1 = _observe_cap_draw_fn(st.in_len, cap_size, n_draw)(
         st.state, st.input_buffer, wires_commitment.merkle_tree.cap
     )
     betas = (bg[0][:nc], bg[1][:nc])
-    gammas = (bg[0][nc:], bg[1][nc:])
+    gammas = (bg[0][nc : 2 * nc], bg[1][nc : 2 * nc])
+    deltas = (bg[0], bg[1]) if has_lookup else None
 
     zs_pp = _zs_and_partial_products_device(
         wires_dev, betas, gammas, prover_data, common
     )
+    if has_lookup:
+        from .prover import _lookup_polys_device
+
+        lookup_polys = _lookup_polys_device(wires_dev, deltas, prover_data, common)
+        zs_pp = (
+            jnp.concatenate([zs_pp[0], lookup_polys[0]], axis=0),
+            jnp.concatenate([zs_pp[1], lookup_polys[1]], axis=0),
+        )
     zs_pp_commitment = fo.PolynomialBatch.from_values(
-        zs_pp, fri_config.rate_bits, False, fri_config.cap_height, hasher=hasher
+        zs_pp,
+        fri_config.rate_bits,
+        zk and ORACLE_BLINDING[ORACLE_ZS_PARTIAL_PRODUCTS],
+        fri_config.cap_height,
+        hasher=hasher,
     )
 
     # boundary 2: zs cap -> alphas
@@ -266,10 +304,14 @@ def prove_device_transcript(
         betas,
         gammas,
         alphas,
+        deltas=deltas,
         device_challenges=True,
     )
     quotient_commitment = fo.PolynomialBatch.from_coeffs(
-        quotient_chunks, fri_config.rate_bits, False, fri_config.cap_height,
+        quotient_chunks,
+        fri_config.rate_bits,
+        zk and ORACLE_BLINDING[ORACLE_QUOTIENT],
+        fri_config.cap_height,
         hasher=hasher,
     )
 
@@ -290,12 +332,22 @@ def prove_device_transcript(
         offsets.append(pos)
         pos += o.padded_num_polys
     zeta_next_base = pos
-    layout = []
-    # zeta batch: constants+sigmas (whole cs oracle), wires, zs+pps, quotient
-    for idx, o in enumerate(oracles):
-        layout.append((offsets[idx], o.num_polys))
-    # zeta_next batch: zs only (first nc of the zs_pp oracle)
+    nzs = common.num_zs_partial_products_polys()
+    nlk = common.num_lookup_polys * nc  # lookup rows in the zs_pp oracle
+    # observation order = OpeningSet.to_fri_openings (proof.py:28-39):
+    # zeta batch: constants+sigmas | wires | zs+pps | quotient | lookup_zs;
+    # g*zeta batch: zs_next | lookup_zs_next
+    layout = [
+        (offsets[0], oracles[0].num_polys),
+        (offsets[1], oracles[1].num_polys),
+        (offsets[2], nzs),
+        (offsets[3], oracles[3].num_polys),
+    ]
+    if nlk:
+        layout.append((offsets[2] + nzs, nlk))
     layout.append((zeta_next_base + offsets[2], nc))
+    if nlk:
+        layout.append((zeta_next_base + offsets[2] + nzs, nlk))
 
     evals, lde_coeffs, lde_values, state4 = _open_reduce(
         common, prover_data, tuple(layout)
@@ -337,7 +389,6 @@ def prove_device_transcript(
 
     ncon = common.num_constants
     nr = config.num_routed_wires
-    nzs = common.num_zs_partial_products_polys()
     openings = OpeningSet(
         constants=block(0, 0, ncon),
         plonk_sigmas=block(0, ncon, nr),
@@ -346,8 +397,8 @@ def prove_device_transcript(
         plonk_zs_next=block(2, 0, nc, next_block=True),
         partial_products=block(2, nc, nzs - nc),
         quotient_polys=block(3, 0, common.num_quotient_polys()),
-        lookup_zs=[],
-        lookup_zs_next=[],
+        lookup_zs=block(2, nzs, nlk) if nlk else [],
+        lookup_zs_next=block(2, nzs, nlk, next_block=True) if nlk else [],
     )
     proof = Proof(
         wires_cap=caps_np[0],

@@ -22,7 +22,7 @@ from ..hash.challenger import Challenger
 from ..iop.generator import generate_partial_witness
 from ..iop.witness import PartialWitness
 from ..ops import gf, ntt
-from ..utils.bits import reverse_index_bits_perm
+from ..utils.bits import log2_strict, reverse_index_bits_perm
 from .circuit_data import (
     ORACLE_BLINDING,
     ORACLE_QUOTIENT,
@@ -388,15 +388,40 @@ def _natural_order_jit(leaves, step: int = 1):
 
 @lru_cache(maxsize=None)
 def _quotient_chunks_fn(mesh_key, num_chunks: int, n: int):
-    rep = pctx.replicated_sharding(mesh_key)
     polys = pctx.polys_sharding(mesh_key)
+
+    if mesh_key is not None:
+        # domain-sharded six-step coset-IFFT: butterflies stay local to
+        # each shard, only the three transposes cross chips — per-chip
+        # memory is N/d instead of the replicated N the naive path needs
+        # (SURVEY §5.7; reference single-node dual: field/src/fft.rs)
+        from ..parallel.ntt import coset_ifft_tables, six_step_coset_ifft_batch
+
+        mesh, axis = mesh_key
+        cols = pctx.cols_sharding(mesh_key)
+        tw_sharding = pctx.polys_sharding(mesh_key)  # [N1, N2] rows n1
+
+        @jax.jit
+        def f(q, tables):
+            q = pctx.constrain(q, cols)
+            coeffs = six_step_coset_ifft_batch(q, tables, mesh, axis)
+            chunks = (
+                coeffs[0].reshape(num_chunks, n),
+                coeffs[1].reshape(num_chunks, n),
+            )
+            return pctx.constrain(chunks, polys)
+
+        def call(q):
+            n_log = log2_strict(q[0].shape[-1])
+            tabs = coset_ifft_tables(n_log, gl.MULTIPLICATIVE_GROUP_GENERATOR)
+            tw = pctx.put((jnp.asarray(tabs[0]), jnp.asarray(tabs[1])), tw_sharding)
+            small = [jnp.asarray(t) for t in tabs[2:]]
+            return f(q, (tw[0], tw[1], *small))
+
+        return call
 
     @jax.jit
     def f(q):
-        # replicate before the coset-IFFT: butterflies over a sharded
-        # domain axis would shuffle every stage (a distributed six-step
-        # IFFT replaces this for domains that exceed one chip)
-        q = pctx.constrain(q, rep)
         coeffs = ntt.coset_ifft(q)
         chunks = (coeffs[0].reshape(num_chunks, n), coeffs[1].reshape(num_chunks, n))
         return pctx.constrain(chunks, polys)
@@ -472,17 +497,22 @@ def _compute_quotient_polys(
     deltas_arr = None
     lut_evals_arr = None
     if common.num_lookup_polys:
-        deltas_arr = pair_arr(list(deltas))
-        num_lut_slots = config.num_routed_wires // 3
-        ev = np.zeros((config.num_challenges, len(common.luts)), dtype=np.uint64)
-        for i in range(config.num_challenges):
-            d4 = deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)]
-            for li in range(len(common.luts)):
-                rows_cnt = -(-len(common.luts[li]) // num_lut_slots)
-                ev[i, li] = get_lut_poly_eval(
-                    common, li, d4[1], d4[3], num_lut_slots * rows_cnt
-                )
-        lut_evals_arr = gf.from_u64(ev)
+        if device_challenges:
+            # deltas already a [NUM_COINS_LOOKUP * nc] device limb pair
+            deltas_arr = deltas
+            lut_evals_arr = _lut_evals_device(deltas, common)
+        else:
+            deltas_arr = pair_arr(list(deltas))
+            num_lut_slots = config.num_routed_wires // 3
+            ev = np.zeros((config.num_challenges, len(common.luts)), dtype=np.uint64)
+            for i in range(config.num_challenges):
+                d4 = deltas[NUM_COINS_LOOKUP * i : NUM_COINS_LOOKUP * (i + 1)]
+                for li in range(len(common.luts)):
+                    rows_cnt = -(-len(common.luts[li]) // num_lut_slots)
+                    ev[i, li] = get_lut_poly_eval(
+                        common, li, d4[1], d4[3], num_lut_slots * rows_cnt
+                    )
+            lut_evals_arr = gf.from_u64(ev)
     pts_sharding = pctx.rows_sharding(pctx.mesh_key())
     if device_challenges:
         betas_a, gammas_a, alphas_a = betas, gammas, alphas
@@ -554,6 +584,242 @@ def set_lookup_wires(prover_data, common, pw) -> None:
                 Target.wire(row, LookupTableGate.wire_ith_multiplicity(col)),
                 multiplicities[entry],
             )
+
+
+_LOOKUP_DEV_CACHE = {}
+
+
+def _lookup_polys_device(wires_dev: gf.Gf, deltas: gf.Gf, prover_data, common) -> gf.Gf:
+    """Device dual of compute_all_lookup_polys with TRACED/device deltas —
+    the device-transcript prover's path (prover.rs:489-637). wires_dev:
+    [num_wires, n] limb pair; deltas: [NUM_COINS_LOOKUP * nc] limb pair.
+    Returns [nc * num_lookup_polys, n] limb pair, row layout identical to
+    the host version (per challenge: RE, then the partial-SLDC columns)."""
+    key = (tuple(prover_data.circuit_digest), "lookup_polys")
+    fn = _LOOKUP_DEV_CACHE.get(key)
+    if fn is None:
+        fn = _make_lookup_polys_device_fn(prover_data, common)
+        _LOOKUP_DEV_CACHE[key] = fn
+    return fn(wires_dev, deltas)
+
+
+def _dev_suffix_sum(x: gf.Gf) -> gf.Gf:
+    """out[i] = sum_{j >= i} x[j] mod p by log-doubling (device dual of
+    _suffix_sum_mod)."""
+    n = x[0].shape[0]
+    shift = 1
+    while shift < n:
+        upd = gf.add((x[0][:-shift], x[1][:-shift]), (x[0][shift:], x[1][shift:]))
+        x = (
+            jnp.concatenate([upd[0], x[0][-shift:]]),
+            jnp.concatenate([upd[1], x[1][-shift:]]),
+        )
+        shift <<= 1
+    return x
+
+
+def _make_lookup_polys_device_fn(prover_data, common):
+    from ..gates.lookup import LookupGate, LookupTableGate
+
+    config = common.config
+    degree = common.degree
+    nc = config.num_challenges
+    num_lu_slots = config.num_routed_wires // 2
+    lu_degree = common.lookup_accumulator_degree()
+    num_partial = -(-num_lu_slots // lu_degree)
+    num_lut_slots = config.num_routed_wires // 3
+    lut_degree = -(-num_lut_slots // num_partial)
+
+    blocks = [
+        (np.arange(last_lut, first_lut + 1), np.arange(last_lu, last_lut))
+        for (last_lu, last_lut, first_lut) in prover_data.lookup_rows
+    ]
+    inp_cols = np.array(
+        [LookupTableGate.wire_ith_looked_inp(s) for s in range(num_lut_slots)]
+    )
+    out_cols = np.array(
+        [LookupTableGate.wire_ith_looked_out(s) for s in range(num_lut_slots)]
+    )
+    mult_cols = np.array(
+        [LookupTableGate.wire_ith_multiplicity(s) for s in range(num_lut_slots)]
+    )
+    li_cols = np.array(
+        [LookupGate.wire_ith_looking_inp(s) for s in range(num_lu_slots)]
+    )
+    lo_cols = np.array(
+        [LookupGate.wire_ith_looking_out(s) for s in range(num_lu_slots)]
+    )
+
+    def bc(s, shape):
+        return (jnp.broadcast_to(s[0], shape), jnp.broadcast_to(s[1], shape))
+
+    def inv2d(x: gf.Gf) -> gf.Gf:
+        shape = x[0].shape
+        flat = gf.batch_inverse((x[0].reshape(-1), x[1].reshape(-1)))
+        return flat[0].reshape(shape), flat[1].reshape(shape)
+
+    def chunked_prefix(terms: gf.Gf, rows: int, slots: int, deg: int):
+        """Per row: within-chunk sums of `terms` [rows, slots] chunked by
+        `deg`, then the running prefix over chunks. Returns ([rows,
+        num_partial] prefix pair, [rows] row-total pair)."""
+        sums_lo, sums_hi = [], []
+        for k in range(num_partial):
+            lo_i, hi_i = k * deg, min((k + 1) * deg, slots)
+            s = (terms[0][:, lo_i:hi_i], terms[1][:, lo_i:hi_i])
+            sums = gf.sum_mod_p(s, axis=1)
+            sums_lo.append(sums[0])
+            sums_hi.append(sums[1])
+        pref_lo, pref_hi = [sums_lo[0]], [sums_hi[0]]
+        for k in range(1, num_partial):
+            nxt = gf.add((pref_lo[-1], pref_hi[-1]), (sums_lo[k], sums_hi[k]))
+            pref_lo.append(nxt[0])
+            pref_hi.append(nxt[1])
+        prefix = (jnp.stack(pref_lo, axis=1), jnp.stack(pref_hi, axis=1))
+        return prefix, (pref_lo[-1], pref_hi[-1])
+
+    @jax.jit
+    def f(wires, deltas):
+        out_lo, out_hi = [], []
+        for c in range(nc):
+            def dd(k):
+                i = NUM_COINS_LOOKUP * c + k
+                return (deltas[0][i], deltas[1][i])
+
+            dA, dB, dAlpha, dDelta = dd(0), dd(1), dd(2), dd(3)
+            polys_lo = jnp.zeros((num_partial + 1, degree), dtype=gf.U32)
+            polys_hi = jnp.zeros((num_partial + 1, degree), dtype=gf.U32)
+            for (lut_rows, lu_rows) in blocks:
+                L, M = lut_rows.shape[0], lu_rows.shape[0]
+
+                def sub(cols, rows):
+                    return (
+                        wires[0][cols][:, rows].T,
+                        wires[1][cols][:, rows].T,
+                    )
+
+                inp = sub(inp_cols, lut_rows)  # [L, S]
+                outv = sub(out_cols, lut_rows)
+                mult = sub(mult_cols, lut_rows)
+                shape = inp[0].shape
+                looked = gf.add(inp, gf.mul(bc(dA, shape), outv))
+                inv = inv2d(gf.sub(bc(dAlpha, shape), looked))
+                combos = gf.add(inp, gf.mul(bc(dB, shape), outv))
+
+                # RE[r] = a_r + c_f * RE[r+1], c_f = delta^S,
+                # a_r = sum_j combos[r, j] * delta^(S-1-j): the affine
+                # suffix scan as c^-i * suffix_sum(a_i * c^i)
+                dpow = gf.powers_scan(dDelta, num_lut_slots + 1)  # [S+1]
+                w = (
+                    dpow[0][num_lut_slots - 1 :: -1],
+                    dpow[1][num_lut_slots - 1 :: -1],
+                )  # delta^(S-1-j) for j = 0..S-1
+                a = gf.sum_mod_p(gf.mul(combos, bc(w, shape)), axis=1)  # [L]
+                c_f = (dpow[0][num_lut_slots], dpow[1][num_lut_slots])
+                c_inv_arr = gf.batch_inverse(
+                    (c_f[0].reshape(1), c_f[1].reshape(1))
+                )
+                c_inv = (c_inv_arr[0][0], c_inv_arr[1][0])
+                c_pows = gf.powers_scan(c_f, L)
+                cinv_pows = gf.powers_scan(c_inv, L)
+                re = gf.mul(cinv_pows, _dev_suffix_sum(gf.mul(a, c_pows)))
+                polys_lo = polys_lo.at[0, lut_rows].set(re[0])
+                polys_hi = polys_hi.at[0, lut_rows].set(re[1])
+
+                terms = gf.mul(mult, inv)  # [L, S]
+                lut_prefix, lut_row_total = chunked_prefix(
+                    terms, L, num_lut_slots, lut_degree
+                )
+
+                if M:
+                    linp = sub(li_cols, lu_rows)  # [M, S2]
+                    lout = sub(lo_cols, lu_rows)
+                    lshape = linp[0].shape
+                    looking = gf.add(linp, gf.mul(bc(dA, lshape), lout))
+                    linv = inv2d(gf.sub(bc(dAlpha, lshape), looking))
+                    lu_prefix, lu_row_total = chunked_prefix(
+                        linv, M, num_lu_slots, lu_degree
+                    )
+                else:
+                    z = jnp.zeros((0, num_partial), dtype=gf.U32)
+                    lu_prefix = (z, z)
+                    z1 = jnp.zeros((0,), dtype=gf.U32)
+                    lu_row_total = (z1, z1)
+
+                # block-local suffix sum: +lut totals, -lu totals
+                zero = gf.zeros((M,))
+                neg_lu = gf.sub(zero, lu_row_total)
+                delta_m = (
+                    jnp.concatenate([neg_lu[0], lut_row_total[0]]),
+                    jnp.concatenate([neg_lu[1], lut_row_total[1]]),
+                )
+                carry = _dev_suffix_sum(delta_m)
+                z1 = jnp.zeros((1,), dtype=gf.U32)
+                carry_next = (
+                    jnp.concatenate([carry[0][1:], z1]),
+                    jnp.concatenate([carry[1][1:], z1]),
+                )
+                for k in range(num_partial):
+                    if M:
+                        vlo, vhi = gf.sub(
+                            (carry_next[0][:M], carry_next[1][:M]),
+                            (lu_prefix[0][:, k], lu_prefix[1][:, k]),
+                        )
+                        polys_lo = polys_lo.at[k + 1, lu_rows].set(vlo)
+                        polys_hi = polys_hi.at[k + 1, lu_rows].set(vhi)
+                    vlo, vhi = gf.add(
+                        (carry_next[0][M:], carry_next[1][M:]),
+                        (lut_prefix[0][:, k], lut_prefix[1][:, k]),
+                    )
+                    polys_lo = polys_lo.at[k + 1, lut_rows].set(vlo)
+                    polys_hi = polys_hi.at[k + 1, lut_rows].set(vhi)
+            out_lo.append(polys_lo)
+            out_hi.append(polys_hi)
+        return jnp.concatenate(out_lo, axis=0), jnp.concatenate(out_hi, axis=0)
+
+    return f
+
+
+def _lut_evals_device(deltas: gf.Gf, common) -> gf.Gf:
+    """Device dual of the get_lut_poly_eval loop: [nc, num_luts] limb pair
+    with traced dB/dDelta (vanishing_poly.rs:30-52; Horner replaced by a
+    weighted sum with scan-computed delta powers — identical mod p)."""
+    config = common.config
+    nc = config.num_challenges
+    num_lut_slots = config.num_routed_wires // 3
+    evals_lo, evals_hi = [], []
+    for i in range(nc):
+        dB = (deltas[0][NUM_COINS_LOOKUP * i + 1], deltas[1][NUM_COINS_LOOKUP * i + 1])
+        dDelta = (
+            deltas[0][NUM_COINS_LOOKUP * i + 3],
+            deltas[1][NUM_COINS_LOOKUP * i + 3],
+        )
+        row_lo, row_hi = [], []
+        for li in range(len(common.luts)):
+            lut = common.luts[li]
+            n = len(lut)
+            rows_cnt = -(-n // num_lut_slots)
+            deg = num_lut_slots * rows_cnt
+            nb_padded = (num_lut_slots - n % num_lut_slots) % num_lut_slots
+            inp = np.array(
+                [i0 for i0, _ in lut] + [lut[0][0]] * nb_padded + [0] * (deg - n - nb_padded),
+                dtype=np.uint64,
+            )
+            out = np.array(
+                [o0 for _, o0 in lut] + [lut[0][1]] * nb_padded + [0] * (deg - n - nb_padded),
+                dtype=np.uint64,
+            )
+            ig = gf.from_u64(inp)
+            og = gf.from_u64(out)
+            coeffs = gf.add(ig, gf.mul((jnp.broadcast_to(dB[0], og[0].shape), jnp.broadcast_to(dB[1], og[1].shape)), og))
+            dpows = gf.powers_scan(dDelta, deg)  # delta^0..delta^(deg-1)
+            # Horner over the pushed order: coeff j gets delta^(deg-1-j)
+            wrev = (dpows[0][::-1], dpows[1][::-1])
+            ev = gf.sum_mod_p(gf.mul(coeffs, wrev), axis=0)
+            row_lo.append(ev[0])
+            row_hi.append(ev[1])
+        evals_lo.append(jnp.stack(row_lo))
+        evals_hi.append(jnp.stack(row_hi))
+    return jnp.stack(evals_lo), jnp.stack(evals_hi)
 
 
 def compute_all_lookup_polys(witness, deltas, prover_data, common) -> np.ndarray:

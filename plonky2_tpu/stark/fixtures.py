@@ -33,11 +33,11 @@ class FibonacciStark(Stark):
         return 2
 
     def generate_trace(self, x0: int, x1: int) -> np.ndarray:
-        rows = [(x0, x1)]
-        for _ in range(self.num_rows - 1):
-            a, b = rows[-1]
-            rows.append((b, gl.gadd(a, b)))
-        return np.array(rows, dtype=np.uint64).T.copy()  # [2, num_rows]
+        # f(i) = F(i-1)*x0 + F(i)*x1 over the standard Fibonacci numbers,
+        # vectorized so a 2^22-row trace is ~22 numpy passes instead of a
+        # 4M-iteration Python loop (fibonacci_stark.rs:generate_trace)
+        f = _fib_seq(self.num_rows + 1, x0, x1)
+        return np.stack([f[:-1], f[1:]])  # [2, num_rows]
 
     def eval(self, frame: StarkFrame, consumer: ConstraintConsumer, A) -> None:
         local = frame.local_values
@@ -53,11 +53,39 @@ class FibonacciStark(Stark):
         consumer.constraint_transition(A.sub(nxt[1], A.add(local[0], local[1])))
 
 
+def _std_fib(n: int) -> np.ndarray:
+    """F[0..n] (F(0)=0, F(1)=1) mod p by vectorized doubling:
+    F(m+j) = F(m)F(j+1) + F(m-1)F(j) turns F[0..m] into F[0..2m] in one
+    numpy pass — log2(n) passes total."""
+    out = np.zeros(n + 1, dtype=np.uint64)
+    if n >= 1:
+        out[1] = 1
+    if n >= 2:
+        out[2] = 1
+    m = 2
+    while m < n:
+        # j <= m-1 so F(j+1) is already known: one pass takes m -> 2m-1
+        k = min(m - 1, n - m)
+        j = np.arange(1, k + 1)
+        out[m + 1 : m + k + 1] = gl.np_add(
+            gl.np_mul(out[m], out[j + 1]), gl.np_mul(out[m - 1], out[j])
+        )
+        m += k
+    return out
+
+
+def _fib_seq(n: int, x0: int, x1: int) -> np.ndarray:
+    """f[0..n-1] with f(0)=x0, f(1)=x1, f(i)=f(i-1)+f(i-2) mod p."""
+    F = _std_fib(n)  # F[0..n]
+    Fm1 = np.concatenate([np.ones(1, dtype=np.uint64), F[: n - 1]])  # F(i-1)
+    return gl.np_add(
+        gl.np_mul(Fm1, np.uint64(x0 % gl.P)),
+        gl.np_mul(F[:n], np.uint64(x1 % gl.P)),
+    )
+
+
 def fibonacci_res(num_rows: int, x0: int, x1: int) -> int:
-    a, b = x0, x1
-    for _ in range(num_rows - 1):
-        a, b = b, gl.gadd(a, b)
-    return b
+    return int(_fib_seq(num_rows + 1, x0, x1)[num_rows])
 
 
 class PermutationStark(Stark):

@@ -43,15 +43,50 @@ def test_factorial_device_transcript_bit_identical():
     _prove_both(lambda: build_factorial(30))
 
 
-def test_zk_config_falls_back():
-    """zk circuits must take the host path (random salts, masked rows)."""
-    import plonky2_tpu.plonk.device_transcript as dt
+def test_lookup_device_transcript_bit_identical():
+    """Lookup circuits run the device transcript too: deltas drawn at
+    boundary 1, RE/partial-SLDC columns via the device kernel, LUT-poly
+    evals at traced deltas — byte-equal to the host path."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
     from plonky2_tpu.plonk.config import CircuitConfig
-    from plonky2_tpu.models.fibonacci import build_fibonacci
 
-    data, pw = build_fibonacci(
-        config=CircuitConfig.standard_recursion_zk_config(), public_io=False
-    )
-    assert not dt.eligible(data.common, _gc(), False)
-    proof = data.prove(pw)
-    data.verify(proof)
+    SMALLER_TABLE = [2, 24, 56, 100, 128, 16, 20, 49]
+
+    def build():
+        b = CircuitBuilder(CircuitConfig.standard_recursion_config())
+        inputs = [0, 3, 3, 7, 1]
+        lut_index = b.add_lookup_table_from_table(
+            list(range(len(SMALLER_TABLE))), SMALLER_TABLE
+        )
+        in_ts = [b.add_virtual_target() for _ in inputs]
+        out_ts = [b.add_lookup_from_index(t, lut_index) for t in in_ts]
+        b.register_public_inputs(in_ts)
+        b.register_public_inputs(out_ts)
+        data = b.build()
+        pw = PartialWitness()
+        for t, v in zip(in_ts, inputs):
+            pw.set_target(t, v)
+        return data, pw
+
+    _prove_both(build)
+
+
+def test_zk_device_transcript_bit_identical():
+    """zk circuits run the device transcript too (salt-blinded oracles);
+    with the salt stream pinned by PLONKY2_TPU_SALT_SEED the proof is
+    byte-equal to the host path."""
+    import os
+
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+    from plonky2_tpu.plonk.config import CircuitConfig
+
+    os.environ["PLONKY2_TPU_SALT_SEED"] = "12345"
+    try:
+        _prove_both(
+            lambda: build_fibonacci(
+                config=CircuitConfig.standard_recursion_zk_config(), public_io=False
+            )
+        )
+    finally:
+        os.environ.pop("PLONKY2_TPU_SALT_SEED", None)

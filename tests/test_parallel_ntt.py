@@ -9,7 +9,13 @@ from jax.sharding import Mesh
 
 from plonky2_tpu.field import goldilocks as gl
 from plonky2_tpu.ops import gf, merkle, ntt
-from plonky2_tpu.parallel.ntt import sharded_merkle_cap, six_step_fft, six_step_ifft
+from plonky2_tpu.parallel.ntt import (
+    coset_ifft_tables,
+    sharded_merkle_cap,
+    six_step_coset_ifft_batch,
+    six_step_fft,
+    six_step_ifft,
+)
 
 
 @pytest.fixture(scope="module")
@@ -36,6 +42,38 @@ def test_six_step_ifft_roundtrip(mesh):
     vals = six_step_fft(xg, mesh)
     back = np.asarray(gf.to_u64(six_step_ifft(vals, mesh)))
     assert np.array_equal(back, x)
+
+
+def test_six_step_coset_ifft_batch_matches_single_chip(mesh):
+    """The quotient pipeline's domain-sharded coset-IFFT (invoked inside a
+    jitted program via shard_map) agrees bit-exactly with the single-chip
+    coset_ifft, including the folded 1/N and shift^-k scales."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(7)
+    m, n_log = 2, 8
+    n = 1 << n_log
+    q = rng.integers(0, gl.P, size=(m, n), dtype=np.uint64)
+    qg = gf.from_u64(q)
+    want = np.asarray(gf.to_u64(ntt.coset_ifft(qg)))
+
+    tabs = coset_ifft_tables(n_log, gl.MULTIPLICATIVE_GROUP_GENERATOR)
+    tw_sh = NamedSharding(mesh, P("x", None))
+    tw = (
+        jax.device_put(jnp.asarray(tabs[0]), tw_sh),
+        jax.device_put(jnp.asarray(tabs[1]), tw_sh),
+    )
+    small = [jnp.asarray(t) for t in tabs[2:]]
+    cols = NamedSharding(mesh, P(None, "x"))
+    qs = (jax.device_put(qg[0], cols), jax.device_put(qg[1], cols))
+
+    @jax.jit
+    def f(qq, tables):
+        return six_step_coset_ifft_batch(qq, tables, mesh, "x")
+
+    got = np.asarray(gf.to_u64(f(qs, (tw[0], tw[1], *small))))
+    assert np.array_equal(got, want)
 
 
 @pytest.mark.parametrize("cap_height", [0, 1, 2, 3])

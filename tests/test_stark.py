@@ -20,6 +20,47 @@ def test_fibonacci_stark_e2e():
     verify_stark_proof(stark, pwp, config, degree_bits=5)
 
 
+def _normalize(x):
+    """Recursively convert a proof dataclass to nested plain tuples so two
+    proofs can be compared exactly (numpy arrays -> int tuples)."""
+    import dataclasses
+
+    import numpy as np
+
+    if dataclasses.is_dataclass(x):
+        return tuple(
+            _normalize(getattr(x, f.name)) for f in dataclasses.fields(x)
+        )
+    if isinstance(x, np.ndarray):
+        return tuple(int(v) for v in x.reshape(-1))
+    if isinstance(x, (list, tuple)):
+        return tuple(_normalize(v) for v in x)
+    return x
+
+
+def test_fibonacci_stark_mesh_prove_bit_identical():
+    """starky under the mesh: the STARK prover inherits the mesh-aware
+    oracles (the reference rayon-parallelizes starky/src/prover.rs:371-460
+    the same way it does plonk); the sharded proof must equal the
+    single-chip proof exactly."""
+    import jax
+
+    from plonky2_tpu.parallel import context as pctx
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (see conftest)")
+    num_rows = 1 << 6
+    stark = FibonacciStark(num_rows)
+    config = StarkConfig.standard_fast_config()
+    trace = stark.generate_trace(0, 1)
+    pis = [0, 1, fibonacci_res(num_rows, 0, 1)]
+    want = prove(stark, config, trace, pis)
+    with pctx.prover_mesh(pctx.make_prover_mesh(8)):
+        got = prove(stark, config, trace, pis)
+    verify_stark_proof(stark, got, config, degree_bits=6)
+    assert _normalize(got) == _normalize(want)
+
+
 def test_fibonacci_stark_rejects_wrong_result():
     num_rows = 1 << 5
     stark = FibonacciStark(num_rows)
