@@ -1,26 +1,32 @@
 """Batched Poseidon permutation and sponge hashing on device.
 
-State layout: ``[B, 12]`` as (lo, hi) u32 limb planes — each round is
-pure elementwise VPU work:
+Layout: the public API takes ``[B, 12]`` (lo, hi) u32 limb planes, but
+internally the permutation runs STRUCTURE-OF-ARRAYS — 12 separate [B]
+lane vectors. On TPU the minor axis tiles to 128 lanes, so a [B, 12]
+array physically pads 12 -> 128 (10.7x wasted bandwidth) and the naive
+[B, 12, 12] MDS broadcast pads to [B, 16, 128] (~100x inflated
+temporaries — measured 2% of compute speed-of-light in round 2's kernel
+suite). In SoA form every op is a full-width [B] vector op:
 
-  * constant layer: vector add of a [12] constant row;
-  * S-box x^7: 4 field muls (all 12 lanes in full rounds, lane 0 only
-    in partial rounds — selected by a static mask, the wasted lanes are
-    negligible next to the MDS);
-  * MDS: the circulant+diagonal 12x12 matrix has entries < 2^6, so the
-    matrix-vector product is ONE broadcast u32 multiply over
-    ``[B, 12, 12]`` (per-entry 64x6-bit products as 3 u32 limbs) followed
-    by a carry-safe tree-sum: limbs split into 16-bit half-planes so a
-    plain ``jnp.sum`` over the 12-axis cannot overflow, then a single
-    carry-propagation + Goldilocks reduce128.
+  * constant layer: per-lane add of a [12, 1] constant column;
+  * S-box x^7: 4 field muls, evaluated on all lanes and kept only on
+    lane 0 in partial rounds (mask select — 4 wasted muls beat a
+    scatter);
+  * MDS: out_r = sum_j MDS[r, j] * s_j with static entries < 2^6 —
+    per output lane, 12 (64x6-bit -> 4-plane) products accumulated in
+    16-bit half-planes (sums of 12 halves stay < 2^26, carry-safe in
+    u32), one carry-recombination + Goldilocks reduce128 per lane.
 
-This is a redesign of the reference's scalar/SIMD MDS tricks
-(core/src/poseidon.rs:178-520 mds_row_shf / fast partial rounds) for a
-vector machine: the "fast partial round" sparse-matrix factorization
-optimizes a *serial* dependent chain and is pointless when all 144
-products are one fused multiply; the output is bit-identical to the
-reference permutation (tested against core/src/poseidon_goldilocks.rs
-test vectors).
+One round is traced once inside a ``fori_loop``; on TPU the whole
+permutation is dispatched to a Pallas kernel that keeps the 24 lane
+vectors in VMEM across all 30 rounds (see ``pallas_kernels``).
+This is a redesign of the reference's scalar/SIMD MDS
+tricks (core/src/poseidon.rs:178-520 mds_row_shf / fast partial
+rounds) for a vector machine: the "fast partial round" sparse-matrix
+factorization optimizes a *serial* dependent chain and is pointless
+when the batch axis fills the vector unit; the output is bit-identical
+to the reference permutation (tested against
+core/src/poseidon_goldilocks.rs test vectors).
 """
 
 from __future__ import annotations
@@ -41,7 +47,8 @@ from ..hash.poseidon_constants import (
 from . import gf
 from .gf import U32, _addc, _mul32
 
-_M16 = U32(0xFFFF)
+_M16 = np.uint32(0xFFFF)  # np scalars: stay literals inside Pallas kernels
+_S16 = np.uint32(16)
 
 # [12, 12] u32 MDS matrix (entries < 2^6)
 _MDS_NP = np.array(MDS_FULL, dtype=np.uint32)
@@ -59,39 +66,57 @@ def _sbox7(x: gf.Gf) -> gf.Gf:
     return gf.mul(x3, x4)
 
 
-def _mds_layer(state: gf.Gf) -> gf.Gf:
-    """out[., r] = sum_j MDS[r, j] * state[., j], exactly mod p."""
-    lo, hi = state  # [B, 12]
-    m = _MDS_NP  # [12(r), 12(j)]
-    # per-entry products: x * c with x = lo + hi*2^32, c < 2^6
-    # -> 3 u32 limbs (t0, t1, t2), t2 < 2^6
-    bl = lo[..., None, :]  # [B, 1, 12] broadcast against [12, 12]
-    bh = hi[..., None, :]
-    l0, l1 = _mul32(bl, m)  # lo*c: l1 < 2^6
-    h0, h1 = _mul32(bh, m)  # hi*c
-    t1, c0 = _addc(l1, h0)
-    t2 = h1 + c0
-    # Sum 12 products without overflow: split each limb into 16-bit
-    # half-planes (sum of 12 halves < 2^20, safe in u32).
-    def _sum_halves(t):
-        return (
-            jnp.sum(t & _M16, axis=-1, dtype=U32),
-            jnp.sum(t >> U32(16), axis=-1, dtype=U32),
-        )
+def mds_lanes(lanes: list) -> list:
+    """MDS over 12 independent lanes: lanes[j] is a (lo, hi) limb pair of
+    any (shared) shape; returns out[r] = sum_j MDS[r, j] * lanes[j],
+    exactly mod p, as a fully unrolled static-constant multiply-
+    accumulate. The broadcast formulation ([B, 12, 12] / [12, 12, B]
+    product tensor + axis-reduce) materializes ~1.2 GB of temporaries
+    per round at B = 2^20 (measured 2% of SoL); here every op is an
+    elementwise vector op.
 
-    s0l, s0h = _sum_halves(l0)
-    s1l, s1h = _sum_halves(t1)
-    s2l, s2h = _sum_halves(t2)
-    # Recombine the six half-plane sums into four u32 limbs
-    w0, c = _addc(s0l, (s0h & _M16) << U32(16))
-    carry0 = c + (s0h >> U32(16))
-    w1a, c1 = _addc(s1l, (s1h & _M16) << U32(16))
-    w1, c2 = _addc(w1a, carry0)
-    carry1 = c1 + c2 + (s1h >> U32(16))
-    w2a, c3 = _addc(s2l, (s2h & _M16) << U32(16))
-    w2, c4 = _addc(w2a, carry1)
-    w3 = c3 + c4 + (s2h >> U32(16))
-    return gf.reduce128(w0, w1, w2, w3)
+    Shape-agnostic on purpose: this is the single source of the MDS
+    math, consumed both by the XLA path below and by the Pallas kernel
+    (ops/poseidon_pallas.py) that runs it out of VMEM.
+
+    Entries c < 2^6, so x*c splits into four 16-bit-aligned planes
+    p_k = half_k(x) * c < 2^22; twelve-term sums stay < 2^26 in u32.
+    The planes recombine into three u32 limbs, then one reduce128."""
+    half = [
+        (
+            lo & _M16,
+            lo >> _S16,
+            hi & _M16,
+            hi >> _S16,
+        )
+        for lo, hi in lanes
+    ]
+    out = []
+    for r in range(SPONGE_WIDTH):
+        acc = [None, None, None, None]  # 16-bit-aligned planes, < 2^26
+        for j in range(SPONGE_WIDTH):
+            c = np.uint32(_MDS_NP[r, j])
+            for k in range(4):
+                p = half[j][k] * c
+                acc[k] = p if acc[k] is None else acc[k] + p
+        # recombine planes (acc[k] at bit 16k, each < 2^26) into limbs
+        c0 = acc[0] & _M16
+        u1 = (acc[0] >> _S16) + (acc[1] & _M16)
+        u2 = (acc[1] >> _S16) + (acc[2] & _M16) + (u1 >> _S16)
+        u3 = (acc[2] >> _S16) + (acc[3] & _M16) + (u2 >> _S16)
+        u4 = (acc[3] >> _S16) + (u3 >> _S16)
+        w0 = c0 | ((u1 & _M16) << _S16)
+        w1 = (u2 & _M16) | ((u3 & _M16) << _S16)
+        w2 = u4
+        out.append(gf.reduce128(w0, w1, w2, jnp.zeros_like(w2)))
+    return out
+
+
+def _mds_layer_t(state: gf.Gf) -> gf.Gf:
+    """Lane-major MDS over a [12, B] stacked state (XLA path)."""
+    lo, hi = state  # [12, B]
+    out = mds_lanes([(lo[j], hi[j]) for j in range(SPONGE_WIDTH)])
+    return jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out])
 
 
 _IS_FULL = np.array(
@@ -102,9 +127,29 @@ _IS_FULL = np.array(
 )
 _LANE0 = np.arange(SPONGE_WIDTH) == 0
 
+# Minimum batch for the Pallas kernels: below this the launch + row
+# padding overhead beats the fusion win (duplex challenger, tiny tree
+# tops); at/above it the kernel holds the state in VMEM for all rounds.
+_PALLAS_MIN_B = 2048
 
-def permute(state: gf.Gf) -> gf.Gf:
-    """Batched Poseidon permutation; state is [..., 12] limb planes.
+
+def _use_pallas(b: int) -> bool:
+    if b < _PALLAS_MIN_B:
+        return False
+    from ..parallel import context as _pctx
+    from . import pallas_kernels as _pk
+
+    # Under a GSPMD mesh the hashing arrays are globally sharded;
+    # pallas_call has no partitioning rule here, so the mesh path keeps
+    # the XLA formulation (parallel/ntt.py's shard_map-local hashing is
+    # gated the same way for now).
+    return _pctx.get_mesh() is None and _pk.use_pallas()
+
+
+def permute_t(state: gf.Gf) -> gf.Gf:
+    """Lane-major Poseidon permutation; state is [12, B] limb planes —
+    the internal layout every sponge below uses (one transpose at the
+    batch boundary instead of 10.7x padding waste per round).
 
     One round is traced once inside a ``fori_loop`` (keeps the XLA graph
     ~30x smaller than unrolling; each round is elementwise so no fusion
@@ -112,20 +157,40 @@ def permute(state: gf.Gf) -> gf.Gf:
     all lanes and discarded outside lane 0 — 4 extra vector muls against
     the 144-product MDS, cheaper than a scatter."""
     lo, hi = state
-    assert lo.shape[-1] == SPONGE_WIDTH
-    rc_lo = jnp.asarray(_RC_LO)
+    assert lo.shape[0] == SPONGE_WIDTH
+    if _use_pallas(lo.shape[1]):
+        from . import poseidon_pallas
+
+        return poseidon_pallas.permute_t(state)
+    rc_lo = jnp.asarray(_RC_LO)  # [30, 12]
     rc_hi = jnp.asarray(_RC_HI)
     is_full = jnp.asarray(_IS_FULL)
-    lane0 = jnp.asarray(_LANE0)
+    lane0 = jnp.asarray(_LANE0)[:, None]  # [12, 1]
 
     def body(r, s):
-        s = gf.add(s, (rc_lo[r], rc_hi[r]))
+        s = gf.add(s, (rc_lo[r][:, None], rc_hi[r][:, None]))
         sb = _sbox7(s)
         m = is_full[r] | lane0
         s = (jnp.where(m, sb[0], s[0]), jnp.where(m, sb[1], s[1]))
-        return _mds_layer(s)
+        return _mds_layer_t(s)
 
     return jax.lax.fori_loop(0, N_ROUNDS, body, (lo, hi))
+
+
+def permute(state: gf.Gf) -> gf.Gf:
+    """Batched Poseidon permutation; state is [..., 12] limb planes
+    (compatibility wrapper: transposes to the lane-major layout once on
+    each side of permute_t)."""
+    lo, hi = state
+    assert lo.shape[-1] == SPONGE_WIDTH
+    lead = lo.shape[:-1]
+    tl = jnp.moveaxis(lo.reshape(-1, SPONGE_WIDTH), -1, 0)
+    th = jnp.moveaxis(hi.reshape(-1, SPONGE_WIDTH), -1, 0)
+    ol, oh = permute_t((tl, th))
+    return (
+        jnp.moveaxis(ol, 0, -1).reshape(lead + (SPONGE_WIDTH,)),
+        jnp.moveaxis(oh, 0, -1).reshape(lead + (SPONGE_WIDTH,)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -133,52 +198,49 @@ def permute(state: gf.Gf) -> gf.Gf:
 # ---------------------------------------------------------------------------
 
 
-def hash_leaf(leaves: gf.Gf) -> gf.Gf:
-    """Domain-separated Merkle leaf hash of a [B, W] batch -> [B, 4] digests.
+def _sponge_t(tlo, thi, cap_val: int) -> gf.Gf:
+    """Overwrite-mode sponge over lane-major inputs [W, B]; capacity lane
+    RATE preset to cap_val. Returns [B, 4] digests (one transpose out)."""
+    w, b = tlo.shape
+    if _use_pallas(b):
+        from . import poseidon_pallas
 
-    Capacity lane RATE is set to W+1 (this fork's hashing.rs hash_leaf);
-    rows are absorbed in overwrite mode, RATE lanes per permutation.
-    """
-    lo, hi = leaves
-    b, w = lo.shape
-    state = gf.zeros((b, SPONGE_WIDTH))
-    cap_val = w + 1  # < 2^32 in practice
-    state = (
-        state[0].at[:, SPONGE_RATE].set(U32(cap_val & 0xFFFF_FFFF)),
-        state[1].at[:, SPONGE_RATE].set(U32(cap_val >> 32)),
-    )
+        return poseidon_pallas.sponge_t(tlo, thi, cap_val)
+    slo = jnp.zeros((SPONGE_WIDTH, b), U32)
+    shi = jnp.zeros((SPONGE_WIDTH, b), U32)
+    if cap_val:
+        slo = slo.at[SPONGE_RATE].set(U32(cap_val & 0xFFFF_FFFF))
+        shi = shi.at[SPONGE_RATE].set(U32(cap_val >> 32))
     for start in range(0, w, SPONGE_RATE):
         k = min(SPONGE_RATE, w - start)
-        state = (
-            state[0].at[:, :k].set(lo[:, start : start + k]),
-            state[1].at[:, :k].set(hi[:, start : start + k]),
-        )
-        state = permute(state)
-    return state[0][:, :NUM_HASH_OUT_ELTS], state[1][:, :NUM_HASH_OUT_ELTS]
+        slo = jnp.concatenate([tlo[start : start + k], slo[k:]], axis=0)
+        shi = jnp.concatenate([thi[start : start + k], shi[k:]], axis=0)
+        slo, shi = permute_t((slo, shi))
+    return slo[:NUM_HASH_OUT_ELTS].T, shi[:NUM_HASH_OUT_ELTS].T
+
+
+def hash_leaf(leaves: gf.Gf) -> gf.Gf:
+    """Domain-separated Merkle leaf hash of a [B, W] batch -> [B, 4]
+    digests. Capacity lane RATE is set to W+1 (this fork's hashing.rs
+    hash_leaf); rows are absorbed in overwrite mode, RATE lanes per
+    permutation. One transpose in/out; the sponge runs lane-major."""
+    lo, hi = leaves
+    b, w = lo.shape
+    return _sponge_t(lo.T, hi.T, w + 1)
 
 
 def two_to_one(left: gf.Gf, right: gf.Gf) -> gf.Gf:
     """Compress [B, 4] + [B, 4] -> [B, 4] with zero capacity."""
-    lo = jnp.concatenate(
-        [left[0], right[0], jnp.zeros_like(left[0])], axis=-1
-    )
-    hi = jnp.concatenate(
-        [left[1], right[1], jnp.zeros_like(left[1])], axis=-1
-    )
-    out = permute((lo, hi))
-    return out[0][:, :NUM_HASH_OUT_ELTS], out[1][:, :NUM_HASH_OUT_ELTS]
+    tlo = jnp.concatenate([left[0].T, right[0].T], axis=0)  # [8, B]
+    thi = jnp.concatenate([left[1].T, right[1].T], axis=0)
+    b = tlo.shape[1]
+    slo = jnp.concatenate([tlo, jnp.zeros((SPONGE_WIDTH - 8, b), U32)], axis=0)
+    shi = jnp.concatenate([thi, jnp.zeros((SPONGE_WIDTH - 8, b), U32)], axis=0)
+    olo, ohi = permute_t((slo, shi))
+    return olo[:NUM_HASH_OUT_ELTS].T, ohi[:NUM_HASH_OUT_ELTS].T
 
 
 def hash_no_pad_batch(inputs: gf.Gf) -> gf.Gf:
     """Overwrite-mode sponge over [B, W] rows, zero capacity -> [B, 4]."""
     lo, hi = inputs
-    b, w = lo.shape
-    state = gf.zeros((b, SPONGE_WIDTH))
-    for start in range(0, w, SPONGE_RATE):
-        k = min(SPONGE_RATE, w - start)
-        state = (
-            state[0].at[:, :k].set(lo[:, start : start + k]),
-            state[1].at[:, :k].set(hi[:, start : start + k]),
-        )
-        state = permute(state)
-    return state[0][:, :NUM_HASH_OUT_ELTS], state[1][:, :NUM_HASH_OUT_ELTS]
+    return _sponge_t(lo.T, hi.T, 0)

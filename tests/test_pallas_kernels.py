@@ -53,3 +53,41 @@ def test_pallas_fft_large_rows_stage_split(monkeypatch):
     # inverse roundtrip through the hybrid too
     back = np.asarray(gf.to_u64(pk.ifft(pk.fft(cg, interpret=True), interpret=True)))
     assert np.array_equal(back, c)
+
+
+def _rand_limbs(rng, shape):
+    v = rng.integers(0, gl.P, size=shape, dtype=np.uint64)
+    return v, gf.from_u64(v)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_pallas_poseidon_matches_xla_interpret():
+    """Fused-VMEM Poseidon kernel == XLA permutation, bit-exact.
+
+    Interpret mode on CPU with a tiny batch (slow: ~9 min of interpret
+    overhead on a 1-vCPU host); TPU runs are cross-checked against the
+    host reference vectors by the kernel bench suite."""
+    import plonky2_tpu.ops.poseidon as pos
+    from plonky2_tpu.ops import poseidon_pallas as pp
+
+    rng = np.random.default_rng(11)
+    v, st = _rand_limbs(rng, (12, 256))
+    want = [np.asarray(p) for p in pos.permute_t(st)]  # XLA path (CPU: no pallas)
+    got = [np.asarray(p) for p in pp.permute_t(st, interpret=True, block_rows=8)]
+    assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])
+
+
+@_pytest.mark.slow
+def test_pallas_poseidon_sponge_matches_xla_interpret():
+    import plonky2_tpu.ops.poseidon as pos
+    from plonky2_tpu.ops import poseidon_pallas as pp
+
+    rng = np.random.default_rng(12)
+    w = 13  # one full absorb + a 5-lane partial block
+    v, t = _rand_limbs(rng, (w, 256))
+    want = [np.asarray(p) for p in pos._sponge_t(t[0], t[1], w + 1)]
+    got = [np.asarray(p) for p in pp.sponge_t(t[0], t[1], w + 1, interpret=True)]
+    assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])

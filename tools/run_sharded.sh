@@ -13,7 +13,7 @@ set -u
 cd "$(dirname "$0")/.."
 pass=0; fail=0; failed_files=()
 for f in tests/test_*.py; do
-  timeout 1200 python -m pytest "$f" -q "$@" >/tmp/shard_out.txt 2>&1
+  timeout "${SHARD_TIMEOUT:-2400}" python -m pytest "$f" -q "$@" >/tmp/shard_out.txt 2>&1
   rc=$?
   # rc 5 = no tests collected in this file (e.g. -m slow filters) — fine
   if [ $rc -eq 0 ] || [ $rc -eq 5 ]; then
