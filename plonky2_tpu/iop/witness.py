@@ -74,15 +74,54 @@ class PartitionWitness:
         self.values[rep] = value
         return True
 
-    def full_witness(self) -> "MatrixWitness":
-        vals = np.fromiter(
+    def rep_map_np(self) -> np.ndarray:
+        """The representative map as int64 numpy (cached; the map is
+        immutable after build)."""
+        rep = getattr(self, "_rep_np", None)
+        if rep is None:
+            rep = np.asarray(self.representative_map, dtype=np.int64)
+            self._rep_np = rep
+        return rep
+
+    def values_snapshot(self) -> np.ndarray:
+        """One-pass u64 copy of the representative values (unset -> 0)."""
+        return np.fromiter(
             (v if v is not None else 0 for v in self.values),
             dtype=np.uint64,
             count=len(self.values),
         )
-        rep = np.asarray(
-            self.representative_map[: self.degree * self.num_wires], dtype=np.int64
+
+    def get_wires_bulk(self, flat_indices: np.ndarray) -> np.ndarray:
+        """Vectorized get_target over dense target indices; asserts all set."""
+        reps = self.rep_map_np()[flat_indices]
+        unset = np.fromiter(
+            (v is None for v in self.values), dtype=bool, count=len(self.values)
         )
+        assert not unset[reps].any(), "get_wires_bulk: unset target"
+        return self.values_snapshot()[reps]
+
+    def set_wires_bulk(self, rows: np.ndarray, cols: np.ndarray, values) -> None:
+        """Vectorized set_target over wire targets (same set-twice check)."""
+        flat = np.asarray(rows, dtype=np.int64) * self.num_wires + np.asarray(
+            cols, dtype=np.int64
+        )
+        reps = self.rep_map_np()[flat].tolist()
+        # Python ints only: np integer scalars stored in the witness would
+        # silently overflow in downstream host big-int arithmetic.
+        vals = [int(v) % P for v in values]
+        store = self.values
+        for r, v in zip(reps, vals):
+            old = store[r]
+            if old is not None:
+                assert old == v, (
+                    f"Partition {r} was set twice with different values: {old} != {v}"
+                )
+            else:
+                store[r] = v
+
+    def full_witness(self) -> "MatrixWitness":
+        vals = self.values_snapshot()
+        rep = self.rep_map_np()[: self.degree * self.num_wires]
         wires = vals[rep].reshape(self.degree, self.num_wires).T.copy()
         return MatrixWitness(wires)
 

@@ -548,27 +548,37 @@ def _compute_quotient_polys(
 
 def set_lookup_wires(prover_data, common, pw) -> None:
     """Computes multiplicities, pads the last LookupGate and fills the
-    LookupTableGate multiplicity wires."""
+    LookupTableGate multiplicity wires.
+
+    Vectorized (reference: plonk/prover.rs:42-140 loops per lookup under
+    rayon): the multiplicity histogram is one bincount over the gathered
+    lookup-input values via a 2^16 inverse table, and the multiplicity
+    wires are one bulk set — the only per-item Python is extracting each
+    lookup target's dense index."""
+    from ..gates.lookup import LookupGate, LookupTableGate
     from ..iop.target import Target
 
     config = common.config
     num_entries = config.num_routed_wires // 2
     num_lut_entries = config.num_routed_wires // 3
+    nw, deg = pw.num_wires, pw.degree
     for lut_index, (last_lu, last_lut, first_lut) in enumerate(prover_data.lookup_rows):
         lut = common.luts[lut_index]
-        value_to_idx = {}
-        for i, (inp, _) in enumerate(lut):
-            value_to_idx.setdefault(inp, i)
-        multiplicities = [0] * len(lut)
+        lut_inputs = np.fromiter((inp for inp, _ in lut), np.int64, count=len(lut))
+        # first occurrence wins (reference setdefault semantics)
+        inv = np.full(1 << 16, -1, np.int64)
+        inv[lut_inputs[::-1]] = np.arange(len(lut) - 1, -1, -1)
         lookups = prover_data.lut_to_lookups[lut_index]
-        for (inp_t, _out_t) in lookups:
-            v = pw.get_target(inp_t)
-            assert v < (1 << 16), f"lookup input {v} exceeds u16"
-            multiplicities[value_to_idx[v]] += 1
+        flat = np.fromiter(
+            (t.flat_index(nw, deg) for t, _ in lookups), np.int64, count=len(lookups)
+        )
+        v = pw.get_wires_bulk(flat)
+        assert (v < (1 << 16)).all(), "lookup input exceeds u16"
+        idx = inv[v.astype(np.int64)]
+        assert (idx >= 0).all(), "lookup input not present in the LUT"
+        multiplicities = np.bincount(idx, minlength=len(lut)).astype(object)
         remaining = (num_entries - (len(lookups) % num_entries)) % num_entries
         fi, fo = lut[0]
-        from ..gates.lookup import LookupGate, LookupTableGate
-
         for slot in range(num_entries - remaining, num_entries):
             pw.set_target(
                 Target.wire(last_lut - 1, LookupGate.wire_ith_looking_inp(slot)), fi
@@ -577,13 +587,16 @@ def set_lookup_wires(prover_data, common, pw) -> None:
                 Target.wire(last_lut - 1, LookupGate.wire_ith_looking_out(slot)), fo
             )
             multiplicities[0] += 1
-        for entry in range(len(lut)):
-            row = first_lut - entry // num_lut_entries
-            col = entry % num_lut_entries
-            pw.set_target(
-                Target.wire(row, LookupTableGate.wire_ith_multiplicity(col)),
-                multiplicities[entry],
-            )
+        entries = np.arange(len(lut))
+        pw.set_wires_bulk(
+            first_lut - entries // num_lut_entries,
+            np.fromiter(
+                (LookupTableGate.wire_ith_multiplicity(c) for c in entries % num_lut_entries),
+                np.int64,
+                count=len(lut),
+            ),
+            multiplicities,
+        )
 
 
 _LOOKUP_DEV_CACHE = {}

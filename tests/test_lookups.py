@@ -84,3 +84,32 @@ def test_lookup_circuit_recursive_verification():
     set_verifier_data_target(pw, vd_t, data.verifier_only)
     witness = generate_partial_witness(pw, outer.prover_only, outer.common)
     check_witness(outer, witness.full_witness(), hp.hash_no_pad([]))
+
+
+def test_partition_witness_bulk_ops():
+    """set_wires_bulk/get_wires_bulk match the scalar set/get semantics
+    (used by the vectorized set_lookup_wires)."""
+    import numpy as np
+
+    from plonky2_tpu.iop.target import Target
+    from plonky2_tpu.iop.witness import PartitionWitness
+
+    num_wires, degree = 4, 8
+    # identity representative map (no copy constraints) + 2 virtual slots
+    rep = list(range(num_wires * degree + 2))
+    pw = PartitionWitness(rep, num_wires, degree)
+    rows = np.array([0, 1, 2, 3])
+    cols = np.array([1, 1, 2, 3])
+    vals = [5, gl.P + 7, 0, 123]  # one value above P: must canonicalize
+    pw.set_wires_bulk(rows, cols, vals)
+    assert pw.get_target(Target.wire(1, 1)) == 7
+    flat = rows * num_wires + cols
+    got = pw.get_wires_bulk(flat)
+    assert got.tolist() == [5, 7, 0, 123]
+    # re-setting the same value is fine; a different value asserts
+    pw.set_wires_bulk(rows[:1], cols[:1], [5])
+    with pytest.raises(AssertionError):
+        pw.set_wires_bulk(rows[:1], cols[:1], [6])
+    # unset target rejected by the bulk getter
+    with pytest.raises(AssertionError):
+        pw.get_wires_bulk(np.array([0]))
