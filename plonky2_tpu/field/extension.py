@@ -63,10 +63,12 @@ def ext_mul(a: Ext, b: Ext) -> Ext:
     w = W[d]
     out = [0] * d
     for i, ai in enumerate(a):
-        if ai == 0:
+        # isinstance: zero-skip is an optimization; symbolic components
+        # (witgen tracer) take the generic path
+        if isinstance(ai, int) and ai == 0:
             continue
         for j, bj in enumerate(b):
-            if bj == 0:
+            if isinstance(bj, int) and bj == 0:
                 continue
             k = i + j
             prod = gmul(ai, bj)
@@ -112,14 +114,19 @@ def frobenius(a: Ext, count: int = 1) -> Ext:
 def ext_inv(a: Ext) -> Ext:
     """Inverse via the norm map: a^-1 = prod_{i=1..D-1} frob^i(a) / Norm(a)."""
     d = len(a)
-    if all(x == 0 for x in a):
+    # isinstance guards: under the witgen tracer (iop/witgen_native.py)
+    # components are symbolic and these data checks are skipped — the
+    # engine's INV0 gives 0 for 0, and the norm identity holds by algebra.
+    if isinstance(a[0], int) and all(x == 0 for x in a):
         raise ZeroDivisionError("inverse of zero extension element")
     conj_prod = frobenius(a, 1)
     for i in range(2, d):
         conj_prod = ext_mul(conj_prod, frobenius(a, i))
     norm = ext_mul(a, conj_prod)
     # norm lies in the base field
-    assert all(x == 0 for x in norm[1:]), "norm not in base field"
+    assert not isinstance(norm[0], int) or all(
+        x == 0 for x in norm[1:]
+    ), "norm not in base field"
     return ext_scalar_mul(conj_prod, ginv(norm[0]))
 
 

@@ -46,7 +46,8 @@ def gsub(a: int, b: int) -> int:
 
 
 def gneg(a: int) -> int:
-    return 0 if a == 0 else P - a
+    # gsub form keeps this traceable by the witgen tracer (symbolic a)
+    return gsub(0, a) if not isinstance(a, int) else (0 if a == 0 else P - a)
 
 
 def gmul(a: int, b: int) -> int:
@@ -58,7 +59,9 @@ def gexp(base: int, e: int) -> int:
 
 
 def ginv(a: int) -> int:
-    if a == 0:
+    # isinstance guard: under the witgen tracer a is symbolic and the
+    # zero check is data-dependent (the engine's INV0 maps 0 -> 0)
+    if isinstance(a, int) and a == 0:
         raise ZeroDivisionError("inverse of zero in Goldilocks field")
     return pow(a, P - 2, P)
 

@@ -93,7 +93,11 @@ class BaseSplitGenerator(SimpleGenerator):
         for i in range(self.num_limbs):
             out.set_wire(self.row, BaseSumGate.START_LIMBS + i, acc % self.base)
             acc //= self.base
-        assert acc == 0, "integer too large for the given number of limbs"
+        # data check skipped under the witgen tracer (symbolic acc) — the
+        # reference's equivalent is a debug_assert, absent in release mode
+        assert not isinstance(acc, int) or acc == 0, (
+            "integer too large for the given number of limbs"
+        )
 
 
 @dataclass(frozen=True)

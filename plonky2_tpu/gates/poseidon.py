@@ -336,7 +336,9 @@ class PoseidonGenerator(SimpleGenerator):
 
         inputs = [get(g.wire_input(i)) for i in range(W)]
         swap = get(g.WIRE_SWAP)
-        assert swap in (0, 1), "swap wire must be binary"
+        # data check skipped under the witgen tracer (symbolic swap); the
+        # gate constraint s(s-1)=0 enforces it in the proof either way
+        assert not isinstance(swap, int) or swap in (0, 1), "swap wire must be binary"
 
         state = list(inputs)
         for i in range(4):

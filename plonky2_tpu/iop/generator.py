@@ -112,7 +112,21 @@ def generate_partial_witness(
     common_data,
 ) -> PartitionWitness:
     """Worklist fixpoint: run pending generators, merge their outputs, wake
-    watchers keyed by union-find representative (generator.rs:26-104)."""
+    watchers keyed by union-find representative (generator.rs:26-104).
+
+    When the native engine is available (iop/witgen_native.py compiles
+    generators to field-op bytecode and runs the fixpoint in C), it is
+    used instead; the pure-Python fixpoint below is the reference
+    semantics and the fallback."""
+    from . import witgen_native
+
+    if witgen_native.available():
+        w = witgen_native.generate_partial_witness_native(
+            inputs, prover_data, common_data
+        )
+        if w is not None:
+            return w
+
     generators: Sequence = prover_data.generators
     by_watches: Dict[int, List[int]] = prover_data.generator_indices_by_watches
     witness = PartitionWitness(

@@ -615,7 +615,7 @@ class WireSplitGenerator(SimpleGenerator):
         for row in self.rows:
             out.set_wire(row, BaseSumGate.WIRE_SUM, v & ((1 << self.num_limbs) - 1))
             v >>= self.num_limbs
-        assert v == 0
+        assert not isinstance(v, int) or v == 0  # skipped under the witgen tracer
 
 
 @dataclass
