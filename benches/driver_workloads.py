@@ -20,7 +20,16 @@ import sys
 import time
 
 
+_COMPILES = {"programs": 0, "compile_s": 0.0}
+
+
 def _say(obj) -> None:
+    if isinstance(obj, dict) and _COMPILES["programs"]:
+        obj = {
+            **obj,
+            "xla_programs": _COMPILES["programs"],
+            "xla_compile_s": round(_COMPILES["compile_s"], 1),
+        }
     print(json.dumps(obj), flush=True)
 
 
@@ -33,6 +42,21 @@ def _init_jax():
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Program-count accounting: every record reports how many XLA
+    # programs this workload compiled and the seconds spent compiling
+    # (persistent-cache hits don't count — so this doubles as a cache
+    # hit-rate probe in the driver environment).
+    try:
+        from jax._src import monitoring as _mon
+
+        def _listen(event: str, dur: float, **_kw) -> None:
+            if event.endswith("backend_compile_duration"):
+                _COMPILES["programs"] += 1
+                _COMPILES["compile_s"] += dur
+
+        _mon.register_event_duration_secs_listener(_listen)
+    except Exception:
+        pass
     return jax
 
 

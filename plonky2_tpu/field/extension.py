@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import numpy as np
+
 from .goldilocks import P, gadd, gexp, ginv, gmul, gneg, gsub
 
 # W and DTH_ROOT per extension degree (goldilocks_extensions.rs:13-71)
@@ -117,14 +119,14 @@ def ext_inv(a: Ext) -> Ext:
     # isinstance guards: under the witgen tracer (iop/witgen_native.py)
     # components are symbolic and these data checks are skipped — the
     # engine's INV0 gives 0 for 0, and the norm identity holds by algebra.
-    if isinstance(a[0], int) and all(x == 0 for x in a):
+    if isinstance(a[0], (int, np.integer)) and all(x == 0 for x in a):
         raise ZeroDivisionError("inverse of zero extension element")
     conj_prod = frobenius(a, 1)
     for i in range(2, d):
         conj_prod = ext_mul(conj_prod, frobenius(a, i))
     norm = ext_mul(a, conj_prod)
     # norm lies in the base field
-    assert not isinstance(norm[0], int) or all(
+    assert not isinstance(norm[0], (int, np.integer)) or all(
         x == 0 for x in norm[1:]
     ), "norm not in base field"
     return ext_scalar_mul(conj_prod, ginv(norm[0]))

@@ -46,8 +46,13 @@ def gsub(a: int, b: int) -> int:
 
 
 def gneg(a: int) -> int:
-    # gsub form keeps this traceable by the witgen tracer (symbolic a)
-    return gsub(0, a) if not isinstance(a, int) else (0 if a == 0 else P - a)
+    # gsub form keeps this traceable by the witgen tracer (symbolic a);
+    # numpy integer scalars are concrete — coerce so 0 - np.uint64 never
+    # wraps mod 2^64
+    if isinstance(a, (int, np.integer)):
+        a = int(a)
+        return 0 if a == 0 else P - a
+    return gsub(0, a)
 
 
 def gmul(a: int, b: int) -> int:
@@ -60,9 +65,12 @@ def gexp(base: int, e: int) -> int:
 
 def ginv(a: int) -> int:
     # isinstance guard: under the witgen tracer a is symbolic and the
-    # zero check is data-dependent (the engine's INV0 maps 0 -> 0)
-    if isinstance(a, int) and a == 0:
-        raise ZeroDivisionError("inverse of zero in Goldilocks field")
+    # zero check is data-dependent (the engine's INV0 maps 0 -> 0);
+    # numpy integer scalars are concrete and must hit the zero check
+    if isinstance(a, (int, np.integer)):
+        a = int(a)
+        if a == 0:
+            raise ZeroDivisionError("inverse of zero in Goldilocks field")
     return pow(a, P - 2, P)
 
 

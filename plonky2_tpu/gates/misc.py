@@ -3,6 +3,8 @@ plonky2/src/gates/{base_sum.rs,exponentiation.rs,random_access.rs})."""
 
 from __future__ import annotations
 
+import numpy as _np
+
 from dataclasses import dataclass
 from typing import List, Sequence
 
@@ -95,7 +97,7 @@ class BaseSplitGenerator(SimpleGenerator):
             acc //= self.base
         # data check skipped under the witgen tracer (symbolic acc) — the
         # reference's equivalent is a debug_assert, absent in release mode
-        assert not isinstance(acc, int) or acc == 0, (
+        assert not isinstance(acc, (int, _np.integer)) or acc == 0, (
             "integer too large for the given number of limbs"
         )
 

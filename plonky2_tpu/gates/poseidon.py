@@ -11,6 +11,8 @@ fast-partial-round schedule on host ints.
 
 from __future__ import annotations
 
+import numpy as _np
+
 from dataclasses import dataclass
 from typing import List, Sequence
 
@@ -338,7 +340,7 @@ class PoseidonGenerator(SimpleGenerator):
         swap = get(g.WIRE_SWAP)
         # data check skipped under the witgen tracer (symbolic swap); the
         # gate constraint s(s-1)=0 enforces it in the proof either way
-        assert not isinstance(swap, int) or swap in (0, 1), "swap wire must be binary"
+        assert not isinstance(swap, (int, _np.integer)) or swap in (0, 1), "swap wire must be binary"
 
         state = list(inputs)
         for i in range(4):

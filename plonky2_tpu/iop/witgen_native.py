@@ -390,8 +390,12 @@ def _enc_lookup(gen) -> _Encoded:
     # matching the Python scan)
     base = len(prog.consts)
     for i, o in gen.lut:
+        # inputs stay raw (the C scan, like the Python one, compares the
+        # looked-up wire against the raw table input); outputs are reduced
+        # % P because OP_OUT writes verbatim while the Python path's
+        # set_target canonicalizes
         prog.consts.append(int(i))
-        prog.consts.append(int(o))
+        prog.consts.append(int(o) % P)
     prog._cmap.clear()  # pairs alias the dedup map; disable further dedup
     res = prog.reg()
     prog.emit(OP_TBL, res, inp, base, len(gen.lut))
@@ -583,7 +587,19 @@ def encode_circuit(prover_data, common) -> _Encoding:
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "native", "witgen.c")
-_SO = os.path.join(_HERE, "..", "native", "witgen.so")
+
+
+def _so_path() -> str:
+    # content-addressed: the .so name embeds the source hash, so a stale
+    # or foreign binary (e.g. from a different checkout/platform) is never
+    # dlopen'd — we always build from the reviewed source. Binaries are
+    # gitignored (plonky2_tpu/native/.gitignore).
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, "..", "native", f"witgen-{h}.so")
+
 
 _lib = None
 _lock = threading.Lock()
@@ -597,7 +613,8 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        _SO = _so_path()
+        if not os.path.exists(_SO):
             cc = os.environ.get("CC", "cc")
             try:
                 subprocess.run(
@@ -629,8 +646,13 @@ def _load():
 
 
 def available() -> bool:
-    # default off until the corpus bit-equality suite has run this session
-    if os.environ.get("PLONKY2_TPU_NATIVE_WITGEN", "0") == "0":
+    # Default ON (with transparent Python fallback: any generator the
+    # tracer cannot encode, or a missing/failed C toolchain, routes the
+    # whole prove through the pure-Python fixpoint — see
+    # iop/generator.py:generate_partial_witness). Bit-equality with the
+    # Python path is pinned by tests/test_native_witgen.py's corpus suite.
+    # Set PLONKY2_TPU_NATIVE_WITGEN=0 to force the Python fixpoint.
+    if os.environ.get("PLONKY2_TPU_NATIVE_WITGEN", "1") == "0":
         return False
     return _load() is not None
 

@@ -27,15 +27,54 @@ from . import gf
 from . import poseidon as dp
 
 
+# Levels with at least this many digests are built as individual
+# (Pallas-eligible, compute-dominant) compressions; smaller levels build
+# in ONE lax.scan over a fixed-size buffer. The scan trades <=B0*steps
+# wasted tiny-batch hashes (B0 < 2048 rows — microseconds) for a
+# permutation body that traces and compiles ONCE instead of once per
+# level: a 2^13-leaf tree program went from ~55 s to seconds of cold
+# XLA compile over the TPU tunnel.
+_SCAN_MAX_B = 2048
+
+
+def _scan_pyramid(top: gf.Gf, num_steps: int):
+    """num_steps halvings of a [B0, 4] digest batch as one lax.scan. The
+    body always computes on the full fixed-size buffer; the active prefix
+    halves each step (tail rows hold garbage) and each level is the
+    prefix slice of that step's output."""
+    lo, hi = top
+    b0 = lo.shape[0]
+    assert num_steps <= b0.bit_length() - 1
+
+    def body(state, _):
+        slo, shi = state
+        dlo, dhi = dp.two_to_one((slo[0::2], shi[0::2]), (slo[1::2], shi[1::2]))
+        # pad the halved result back to the fixed buffer size
+        slo = jnp.concatenate([dlo, dlo], axis=0)
+        shi = jnp.concatenate([dhi, dhi], axis=0)
+        return (slo, shi), (dlo, dhi)
+
+    _, (ys_lo, ys_hi) = jax.lax.scan(body, (lo, hi), None, length=num_steps)
+    return [
+        (ys_lo[k, : b0 >> (k + 1)], ys_hi[k, : b0 >> (k + 1)])
+        for k in range(num_steps)
+    ]
+
+
 def _tree_levels(leaves: gf.Gf, num_levels: int):
-    """Traced body: leaf digests + level-by-level compressions."""
+    """Traced body: leaf digests + level-by-level compressions (big
+    levels unrolled, small levels via _scan_pyramid)."""
     digests = dp.hash_leaf(leaves)  # [n, 4]
     levels = [digests]
-    for _ in range(num_levels):
+    remaining = num_levels
+    while remaining and levels[-1][0].shape[0] >= _SCAN_MAX_B:
         cur = levels[-1]
         left = (cur[0][0::2], cur[1][0::2])
         right = (cur[0][1::2], cur[1][1::2])
         levels.append(dp.two_to_one(left, right))
+        remaining -= 1
+    if remaining:
+        levels += _scan_pyramid(levels[-1], remaining)
     return tuple(levels)
 
 

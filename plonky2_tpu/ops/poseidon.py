@@ -113,10 +113,31 @@ def mds_lanes(lanes: list) -> list:
 
 
 def _mds_layer_t(state: gf.Gf) -> gf.Gf:
-    """Lane-major MDS over a [12, B] stacked state (XLA path)."""
+    """Lane-major MDS over a [12, B] stacked state (XLA path).
+
+    Same 16-bit-half-plane algebra as ``mds_lanes``, expressed as four
+    exact u32 matmuls ([12,12] x [12,B]; products < 2^22, 12-term sums
+    < 2^26 — no wraparound) instead of 576 Python-unrolled
+    multiply-adds: ~10 traced ops instead of ~2300, which is what makes
+    the permute body cheap to re-trace in every program that embeds it.
+    The Pallas kernels keep the unrolled ``mds_lanes`` form (Mosaic has
+    no integer dot)."""
     lo, hi = state  # [12, B]
-    out = mds_lanes([(lo[j], hi[j]) for j in range(SPONGE_WIDTH)])
-    return jnp.stack([o[0] for o in out]), jnp.stack([o[1] for o in out])
+    halves = (lo & _M16, lo >> _S16, hi & _M16, hi >> _S16)
+    mds = jnp.asarray(_MDS_NP)  # [12(out), 12(in)] u32, entries < 2^6
+    dot = lambda h: jax.lax.dot_general(
+        mds, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.uint32
+    )
+    acc = [dot(h) for h in halves]  # 16-bit-aligned planes, < 2^26
+    c0 = acc[0] & _M16
+    u1 = (acc[0] >> _S16) + (acc[1] & _M16)
+    u2 = (acc[1] >> _S16) + (acc[2] & _M16) + (u1 >> _S16)
+    u3 = (acc[2] >> _S16) + (acc[3] & _M16) + (u2 >> _S16)
+    u4 = (acc[3] >> _S16) + (u3 >> _S16)
+    w0 = c0 | ((u1 & _M16) << _S16)
+    w1 = (u2 & _M16) | ((u3 & _M16) << _S16)
+    w2 = u4
+    return gf.reduce128(w0, w1, w2, jnp.zeros_like(w2))
 
 
 _IS_FULL = np.array(
@@ -200,7 +221,12 @@ def permute(state: gf.Gf) -> gf.Gf:
 
 def _sponge_t(tlo, thi, cap_val: int) -> gf.Gf:
     """Overwrite-mode sponge over lane-major inputs [W, B]; capacity lane
-    RATE preset to cap_val. Returns [B, 4] digests (one transpose out)."""
+    RATE preset to cap_val. Returns [B, 4] digests (one transpose out).
+
+    Multi-chunk absorbs run as ONE ``lax.scan`` over RATE-lane chunks so
+    the permutation body is traced and compiled once, not ceil(w/8)
+    times — an 88-wide Merkle leaf hash used to instantiate 11 permute
+    bodies, the dominant term in the prover's trace+compile time."""
     w, b = tlo.shape
     if _use_pallas(b):
         from . import poseidon_pallas
@@ -211,11 +237,35 @@ def _sponge_t(tlo, thi, cap_val: int) -> gf.Gf:
     if cap_val:
         slo = slo.at[SPONGE_RATE].set(U32(cap_val & 0xFFFF_FFFF))
         shi = shi.at[SPONGE_RATE].set(U32(cap_val >> 32))
-    for start in range(0, w, SPONGE_RATE):
-        k = min(SPONGE_RATE, w - start)
-        slo = jnp.concatenate([tlo[start : start + k], slo[k:]], axis=0)
-        shi = jnp.concatenate([thi[start : start + k], shi[k:]], axis=0)
+    if w <= SPONGE_RATE:
+        # single absorb (challenger-adjacent small hashes): loop-free
+        slo = jnp.concatenate([tlo, slo[w:]], axis=0)
+        shi = jnp.concatenate([thi, shi[w:]], axis=0)
         slo, shi = permute_t((slo, shi))
+        return slo[:NUM_HASH_OUT_ELTS].T, shi[:NUM_HASH_OUT_ELTS].T
+    nc = -(-w // SPONGE_RATE)
+    pad = nc * SPONGE_RATE - w
+    if pad:
+        tlo = jnp.concatenate([tlo, jnp.zeros((pad, b), U32)], axis=0)
+        thi = jnp.concatenate([thi, jnp.zeros((pad, b), U32)], axis=0)
+    chunks_lo = tlo.reshape(nc, SPONGE_RATE, b)
+    chunks_hi = thi.reshape(nc, SPONGE_RATE, b)
+    # overwrite lane i of chunk c iff c*RATE+i < w (pad lanes keep state,
+    # matching the unrolled path's partial final overwrite)
+    mask = jnp.asarray(
+        (np.arange(nc * SPONGE_RATE) < w).reshape(nc, SPONGE_RATE, 1)
+    )
+
+    def body(state, xs):
+        slo, shi = state
+        clo, chi, m = xs
+        top_lo = jnp.where(m, clo, slo[:SPONGE_RATE])
+        top_hi = jnp.where(m, chi, shi[:SPONGE_RATE])
+        slo = jnp.concatenate([top_lo, slo[SPONGE_RATE:]], axis=0)
+        shi = jnp.concatenate([top_hi, shi[SPONGE_RATE:]], axis=0)
+        return permute_t((slo, shi)), None
+
+    (slo, shi), _ = jax.lax.scan(body, (slo, shi), (chunks_lo, chunks_hi, mask))
     return slo[:NUM_HASH_OUT_ELTS].T, shi[:NUM_HASH_OUT_ELTS].T
 
 

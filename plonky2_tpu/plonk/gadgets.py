@@ -8,6 +8,8 @@ Implemented as a mixin inherited by CircuitBuilder.
 
 from __future__ import annotations
 
+import numpy as _np
+
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -615,7 +617,7 @@ class WireSplitGenerator(SimpleGenerator):
         for row in self.rows:
             out.set_wire(row, BaseSumGate.WIRE_SUM, v & ((1 << self.num_limbs) - 1))
             v >>= self.num_limbs
-        assert not isinstance(v, int) or v == 0  # skipped under the witgen tracer
+        assert not isinstance(v, (int, _np.integer)) or v == 0  # skipped under the witgen tracer
 
 
 @dataclass
