@@ -50,12 +50,21 @@ SUBLANES = 8
 
 
 def use_pallas() -> bool:
-    if os.environ.get("PLONKY2_TPU_PALLAS", "") == "0":
+    v = os.environ.get("PLONKY2_TPU_PALLAS", "")
+    if v == "0":
         return False
+    if v == "interpret":
+        # CPU tests exercise the pallas call sites (incl. the shard_map
+        # mesh wiring) through the interpreter
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def interpret_mode() -> bool:
+    return os.environ.get("PLONKY2_TPU_PALLAS", "") == "interpret"
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,12 @@ _LANE0 = np.arange(SPONGE_WIDTH) == 0
 _PALLAS_MIN_B = 2048
 
 
+def _interp() -> bool:
+    from . import pallas_kernels as _pk
+
+    return _pk.interpret_mode()
+
+
 def _use_pallas(b: int) -> bool:
     if b < _PALLAS_MIN_B:
         return False
@@ -161,10 +167,31 @@ def _use_pallas(b: int) -> bool:
     from . import pallas_kernels as _pk
 
     # Under a GSPMD mesh the hashing arrays are globally sharded;
-    # pallas_call has no partitioning rule here, so the mesh path keeps
-    # the XLA formulation (parallel/ntt.py's shard_map-local hashing is
-    # gated the same way for now).
+    # pallas_call has no partitioning rule, so the mesh path instead
+    # routes through _mesh_pallas (shard_map with shard-local pallas
+    # calls) — this gate only covers the meshless case.
     return _pctx.get_mesh() is None and _pk.use_pallas()
+
+
+def _mesh_pallas(b: int):
+    """If a prover mesh is active and the per-shard batch is still
+    Pallas-sized, return ((mesh, axis), interpret) so callers can run the
+    Pallas kernel shard-locally under shard_map (rows are independent, so
+    sharding the batch axis is exact). None -> caller falls back to XLA.
+
+    This is the multi-chip analogue of the reference's SIMD hashing under
+    rayon tree parallelism (core/src/poseidon_goldilocks.rs NEON dispatch
+    x core/src/merkle_tree.rs:112-144 subtree fill)."""
+    from ..parallel import context as _pctx
+    from . import pallas_kernels as _pk
+
+    key = _pctx.mesh_key()
+    if key is None or not _pk.use_pallas():
+        return None
+    n = _pctx.axis_size(key)
+    if b % n or (b // n) < _PALLAS_MIN_B:
+        return None
+    return key, _pk.interpret_mode()
 
 
 def permute_t(state: gf.Gf) -> gf.Gf:
@@ -179,10 +206,26 @@ def permute_t(state: gf.Gf) -> gf.Gf:
     the 144-product MDS, cheaper than a scatter."""
     lo, hi = state
     assert lo.shape[0] == SPONGE_WIDTH
+    mp = _mesh_pallas(lo.shape[1])
+    if mp is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        from . import poseidon_pallas
+
+        (mesh, axis), interp = mp
+        spec = _P(None, axis)
+        f = jax.shard_map(
+            lambda l, h: poseidon_pallas.permute_t((l, h), interpret=interp),
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )
+        return f(lo, hi)
     if _use_pallas(lo.shape[1]):
         from . import poseidon_pallas
 
-        return poseidon_pallas.permute_t(state)
+        return poseidon_pallas.permute_t(state, interpret=_interp())
     rc_lo = jnp.asarray(_RC_LO)  # [30, 12]
     rc_hi = jnp.asarray(_RC_HI)
     is_full = jnp.asarray(_IS_FULL)
@@ -228,10 +271,25 @@ def _sponge_t(tlo, thi, cap_val: int) -> gf.Gf:
     times — an 88-wide Merkle leaf hash used to instantiate 11 permute
     bodies, the dominant term in the prover's trace+compile time."""
     w, b = tlo.shape
+    mp = _mesh_pallas(b)
+    if mp is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        from . import poseidon_pallas
+
+        (mesh, axis), interp = mp
+        f = jax.shard_map(
+            lambda l, h: poseidon_pallas.sponge_t(l, h, cap_val, interpret=interp),
+            mesh=mesh,
+            in_specs=(_P(None, axis), _P(None, axis)),
+            out_specs=(_P(axis, None), _P(axis, None)),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )
+        return f(tlo, thi)
     if _use_pallas(b):
         from . import poseidon_pallas
 
-        return poseidon_pallas.sponge_t(tlo, thi, cap_val)
+        return poseidon_pallas.sponge_t(tlo, thi, cap_val, interpret=_interp())
     slo = jnp.zeros((SPONGE_WIDTH, b), U32)
     shi = jnp.zeros((SPONGE_WIDTH, b), U32)
     if cap_val:

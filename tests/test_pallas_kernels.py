@@ -91,3 +91,36 @@ def test_pallas_poseidon_sponge_matches_xla_interpret():
     want = [np.asarray(p) for p in pos._sponge_t(t[0], t[1], w + 1)]
     got = [np.asarray(p) for p in pp.sponge_t(t[0], t[1], w + 1, interpret=True)]
     assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])
+
+
+def test_mesh_shardmap_pallas_hash_bit_identical(monkeypatch):
+    """Under a prover mesh, Poseidon hashing routes through shard_map +
+    shard-local pallas calls (ops/poseidon._mesh_pallas) and must match
+    the XLA path bit for bit. Interpret mode exercises the wiring on the
+    CPU mesh; the kernel itself is Mosaic-compiled on real TPU."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (see conftest)")
+    import numpy as np
+
+    from plonky2_tpu.ops import gf
+    from plonky2_tpu.ops import poseidon as dp
+    from plonky2_tpu.parallel import context as pctx
+
+    rng = np.random.default_rng(11)
+    b = 8 * 2048  # per-shard batch == _PALLAS_MIN_B: mesh branch fires
+    rows = rng.integers(0, gl.P, size=(b, 7), dtype=np.uint64)
+    leaves = gf.from_u64(rows)
+    monkeypatch.setenv("PLONKY2_TPU_PALLAS", "0")
+    want = np.asarray(gf.to_u64(dp.hash_leaf(leaves)))
+    monkeypatch.setenv("PLONKY2_TPU_PALLAS", "interpret")
+    mesh = pctx.make_prover_mesh(8)
+    try:
+        pctx.set_mesh(mesh)
+        assert dp._mesh_pallas(b) is not None
+        got = np.asarray(gf.to_u64(dp.hash_leaf(leaves)))
+    finally:
+        pctx.set_mesh(None)
+    assert np.array_equal(got, want)
