@@ -34,7 +34,14 @@ def _say(obj) -> None:
 
 
 def _init_jax():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_tpu")
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "xla_cache",
+        ),
+    )
     import jax
 
     jax.config.update(
@@ -111,8 +118,13 @@ def recursive(inner_log2: int = 12) -> None:
 
     config = CircuitConfig.standard_recursion_config()
     t0 = time.perf_counter()
-    inner_proof, inner_vd, inner_cd = dummy_proof(config, inner_log2)
-    _say({"note": "inner proof done", "inner_s": round(time.perf_counter() - t0, 1)})
+    inner_proof, inner_vd, inner_cd, how = _inner_proof_cached(config, inner_log2)
+    _say(
+        {
+            "note": f"inner proof {how}",
+            "inner_s": round(time.perf_counter() - t0, 1),
+        }
+    )
     b = CircuitBuilder(config)
     pt = add_virtual_proof_with_pis(b, inner_cd)
     vd_t = add_virtual_verifier_data(b, inner_cd.fri_params.config.cap_height)
@@ -150,6 +162,66 @@ def recursive(inner_log2: int = 12) -> None:
     )
 
 
+def _inner_proof_cached(config, inner_log2: int):
+    """The recursive workload measures the OUTER prove (the whitepaper's
+    ~300 ms number); the inner proof is setup. It is fully deterministic
+    (exact arithmetic, smallest-witness PoW grind), so its bytes are
+    pinned in-repo (tests/golden/) and loaded — and host-verified —
+    instead of re-proving a 2^12-gate circuit inside the bench slot.
+    Absent or stale golden bytes regenerate and save transparently."""
+    import hashlib
+
+    from plonky2_tpu.models.bench_recursion import dummy_proof
+    from plonky2_tpu.plonk.verifier import verify
+    from plonky2_tpu.utils.serialization import (
+        common_data_to_bytes,
+        common_data_from_bytes,
+        proof_to_bytes,
+        proof_from_bytes,
+        verifier_data_to_bytes,
+        verifier_data_from_bytes,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "golden",
+        f"bench_inner_2^{inner_log2}.bin",
+    )
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                blob = f.read()
+            parts = []
+            pos = 0
+            for _ in range(3):
+                ln = int.from_bytes(blob[pos : pos + 8], "little")
+                pos += 8
+                parts.append(blob[pos : pos + ln])
+                pos += ln
+            cd = common_data_from_bytes(parts[0])
+            vd, _cd2 = verifier_data_from_bytes(parts[1])
+            pwp = proof_from_bytes(parts[2], cd)
+            verify(pwp, vd, cd)  # integrity gate before trusting the blob
+            return pwp, vd, cd, "loaded from golden"
+        except Exception as e:  # stale/corrupt golden: regenerate below
+            _say({"note": f"golden inner unusable ({type(e).__name__}); reproving"})
+    pwp, vd, cd = dummy_proof(config, inner_log2)
+    try:
+        parts = [
+            common_data_to_bytes(cd),
+            verifier_data_to_bytes(vd, cd),
+            proof_to_bytes(pwp, cd),
+        ]
+        with open(path, "wb") as f:
+            for p in parts:
+                f.write(len(p).to_bytes(8, "little"))
+                f.write(p)
+    except Exception:
+        pass  # saving the golden is best-effort
+    return pwp, vd, cd, "proved (golden saved)"
+
+
 def stark(log2_rows: int = 22) -> None:
     """FibonacciStark over a 2^log2_rows-row trace (BASELINE north star)."""
     _init_jax()
@@ -180,8 +252,25 @@ def stark(log2_rows: int = 22) -> None:
             "value": round(dt * 1e3, 1),
             "cold_s": round(cold_s, 1),
             "trace_gen_s": round(trace_s, 1),
+            **_device_memory(),
         }
     )
+
+
+def _device_memory() -> dict:
+    """Per-device peak HBM use (BASELINE north star asks the 2^22 STARK
+    to report the memory the domain-sharded path relieves)."""
+    try:
+        import jax
+
+        stats = [d.memory_stats() or {} for d in jax.devices()]
+        return {
+            "peak_hbm_bytes_per_device": [
+                int(s.get("peak_bytes_in_use", 0)) for s in stats
+            ]
+        }
+    except Exception:
+        return {}
 
 
 def large(log2_size: int = 16) -> None:

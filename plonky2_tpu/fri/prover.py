@@ -356,7 +356,9 @@ def _fused_fri_proof(
         len(initial_merkle_trees),
     )
     if key not in _FUSED_FRI_CACHE:
-        _FUSED_FRI_CACHE[key] = _jax.jit(_fused_fri_fn(*key))
+        _fn = _fused_fri_fn(*key)
+        _fn.__name__ = "fused_fri"
+        _FUSED_FRI_CACHE[key] = _jax.jit(_fn)
     jfn = _FUSED_FRI_CACHE[key]
 
     if device_state:
@@ -489,9 +491,9 @@ def _fri_committed_trees_fused(
     in_len = len(challenger.input_buffer)
     key = (arities, cap_height, rate_bits, in_len)
     if key not in _FUSED_COMMIT_CACHE:
-        _FUSED_COMMIT_CACHE[key] = _jax.jit(
-            _fused_commit_fn(arities, cap_height, rate_bits, in_len)
-        )
+        _fcfn = _fused_commit_fn(arities, cap_height, rate_bits, in_len)
+        _fcfn.__name__ = "fused_fri_commit"
+        _FUSED_COMMIT_CACHE[key] = _jax.jit(_fcfn)
     jfn = _FUSED_COMMIT_CACHE[key]
 
     state_u64 = np.array(challenger.sponge_state, dtype=np.uint64)

@@ -42,7 +42,7 @@ def _lde_leaves_jit(mesh_key, rate_bits: int, num_polys: int):
     rows = pctx.rows_sharding(mesh_key)
 
     @jax.jit
-    def f(coeffs: gf.Gf) -> gf.Gf:
+    def lde_leaves_fn(coeffs: gf.Gf) -> gf.Gf:
         vals = ntt.lde_onto_coset(coeffs, rate_bits)  # [M_padded, lde_n]
         lo = vals[0].T[:, :num_polys]  # [lde_n, M]
         hi = vals[1].T[:, :num_polys]
@@ -50,7 +50,7 @@ def _lde_leaves_jit(mesh_key, rate_bits: int, num_polys: int):
         out = jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
         return pctx.constrain(out, rows)
 
-    return f
+    return lde_leaves_fn
 
 
 def lde_leaves(coeffs: gf.Gf, rate_bits: int, num_polys=None) -> gf.Gf:

@@ -265,25 +265,50 @@ class HostMerkleTree:
 # ---------------------------------------------------------------------------
 
 
+def _compress(cur: gf.Gf) -> gf.Gf:
+    return dp.two_to_one(
+        (cur[0][0::2], cur[1][0::2]), (cur[0][1::2], cur[1][1::2])
+    )
+
+
 def _batch_tree_levels(matrices, cap_height: int):
+    """Runs of join-free compressions use the same big-unrolled /
+    small-scanned policy as _tree_levels; matrix joins interrupt a run
+    (the digest row is concatenated with the next matrix and re-hashed,
+    batch_merkle_tree.rs:25-60)."""
     heights = [log2_strict(m[0].shape[0]) for m in matrices]
     cur = dp.hash_leaf(matrices[0])  # [n0, 4]
     levels = [cur]
     mi = 1
     h = heights[0]
     while h > cap_height:
-        left = (cur[0][0::2], cur[1][0::2])
-        right = (cur[0][1::2], cur[1][1::2])
-        cur = dp.two_to_one(left, right)
-        h -= 1
-        if mi < len(matrices) and h == heights[mi]:
+        # compress-only levels strictly above the next join (the level AT
+        # a join height is handled below); with no joins left, all the
+        # way to the cap
+        if mi < len(matrices):
+            plain = h - heights[mi] - 1
+        else:
+            plain = h - cap_height
+        while plain and cur[0].shape[0] >= _SCAN_MAX_B:
+            cur = _compress(cur)
+            h -= 1
+            plain -= 1
+            levels.append(cur)
+        if plain:
+            segs = _scan_pyramid(cur, plain)
+            levels += segs
+            cur = segs[-1]
+            h -= plain
+        if mi < len(matrices):
+            cur = _compress(cur)
+            h -= 1
             joined = (
                 jnp.concatenate([cur[0], matrices[mi][0]], axis=1),
                 jnp.concatenate([cur[1], matrices[mi][1]], axis=1),
             )
             cur = dp.hash_leaf(joined)
             mi += 1
-        levels.append(cur)
+            levels.append(cur)
     assert mi == len(matrices), "arity schedule does not visit every matrix"
     return tuple(levels)
 

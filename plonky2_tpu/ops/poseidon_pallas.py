@@ -163,8 +163,14 @@ _SMEM_RC = pl.BlockSpec(
 )
 
 
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def permute_t(state: gf.Gf, interpret: bool = False, block_rows: int = 64) -> gf.Gf:
-    """[12, B] lane-major Poseidon permutation, fused in VMEM."""
+    """[12, B] lane-major Poseidon permutation, fused in VMEM.
+
+    jit-wrapped so the trace-heavy kernel body (unrolled MDS) is traced
+    once per shape per process and spliced into every enclosing program
+    from pjit's jaxpr cache — a [2^15]-leaf tree program re-traced it
+    5x per tree, ~100 s of the cold prove."""
     lo, hi = state
     b = lo.shape[1]
     rows_pad, grid = _grid_rows(b, block_rows)
@@ -199,11 +205,13 @@ def _sponge_block_rows(w_in: int) -> int:
     return rows
 
 
+@partial(jax.jit, static_argnames=("cap_val", "interpret"))
 def sponge_t(
     tlo, thi, cap_val: int, interpret: bool = False
 ) -> gf.Gf:
     """Overwrite-mode sponge over lane-major [w, B] inputs; returns
-    ([B, 4] lo, hi) digests like ops/poseidon._sponge_t."""
+    ([B, 4] lo, hi) digests like ops/poseidon._sponge_t. jit-wrapped for
+    the same per-shape trace caching as permute_t."""
     w, b = tlo.shape
     block_rows = _sponge_block_rows(w)
     rows_pad, grid = _grid_rows(b, block_rows)

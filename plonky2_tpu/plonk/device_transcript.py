@@ -86,7 +86,7 @@ def _observe_cap_draw_fn(in_len: int, cap_size: int, num_challenges: int):
     Fiat-Shamir boundary as a single program."""
 
     @jax.jit
-    def f(state, inbuf, cap):
+    def observe_cap_draw(state, inbuf, cap):
         dch = DeviceChallenger.from_arrays(state, inbuf, in_len)
         dch.observe_cap_rows(cap)
         outs = [dch.get_challenge() for _ in range(num_challenges)]
@@ -96,7 +96,7 @@ def _observe_cap_draw_fn(in_len: int, cap_size: int, num_challenges: int):
         hi = jnp.stack([o[1] for o in outs])
         return (lo, hi), (slo, shi)
 
-    return f
+    return observe_cap_draw
 
 
 def _ext2_pow_static(x: gf.Gf, e: int) -> gf.Gf:
@@ -175,7 +175,7 @@ def _open_reduce(common, prover_data, layout: tuple):
             self.polynomials = polys
 
     @jax.jit
-    def f(state, inbuf, q_cap, poly_groups):
+    def openings_at_zeta(state, inbuf, q_cap, poly_groups):
         dch = DeviceChallenger.from_arrays(state, inbuf, 0)
         dch.observe_cap_rows(q_cap)
         z0, z1 = dch.get_extension_challenge()
@@ -210,7 +210,7 @@ def _open_reduce(common, prover_data, layout: tuple):
         return evals, lde_coeffs, lde_values, (slo, shi)
 
     _OPEN_REDUCE_CACHE[key] = f
-    return f
+    return openings_at_zeta
 
 
 def prove_device_transcript(

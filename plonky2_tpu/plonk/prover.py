@@ -211,7 +211,7 @@ def _zs_device_fn(nc: int, n: int, nr: int, chunk: int, num_prods: int):
     consume traced betas/gammas with no host sync (prover.rs:396-480)."""
 
     @jax.jit
-    def f(wires, sigmas, s_id, betas, gammas):
+    def partial_products_fn(wires, sigmas, s_id, betas, gammas):
         # wires/sigmas/s_id: [n, nr] limb pairs; betas/gammas: [nc] pairs
         def bview(x, c):
             return (
@@ -277,7 +277,7 @@ def _zs_device_fn(nc: int, n: int, nr: int, chunk: int, num_prods: int):
         ]
         return jnp.concatenate(lo, axis=0), jnp.concatenate(hi, axis=0)
 
-    return f
+    return partial_products_fn
 
 
 def _zs_and_partial_products_device(wires_dev, betas, gammas, prover_data, common) -> gf.Gf:
@@ -364,7 +364,7 @@ def _natural_order_fn(mesh_key, step: int = 1):
     cols = pctx.cols_sharding(mesh_key)
 
     @jax.jit
-    def f(leaves):
+    def natural_order_leaves(leaves):
         perm = reverse_index_bits_perm(leaves[0].shape[0])
         if step != 1:
             # strided sub-LDE: natural points shift*w^(i*step) form the
@@ -379,7 +379,7 @@ def _natural_order_fn(mesh_key, step: int = 1):
         # (prover.rs:720's par_chunks over LDE points)
         return pctx.constrain((lo, hi), cols)
 
-    return f
+    return natural_order_leaves
 
 
 def _natural_order_jit(leaves, step: int = 1):
@@ -402,7 +402,7 @@ def _quotient_chunks_fn(mesh_key, num_chunks: int, n: int):
         tw_sharding = pctx.polys_sharding(mesh_key)  # [N1, N2] rows n1
 
         @jax.jit
-        def f(q, tables):
+        def quotient_coset_ifft_mesh(q, tables):
             q = pctx.constrain(q, cols)
             coeffs = six_step_coset_ifft_batch(q, tables, mesh, axis)
             chunks = (
@@ -416,17 +416,17 @@ def _quotient_chunks_fn(mesh_key, num_chunks: int, n: int):
             tabs = coset_ifft_tables(n_log, gl.MULTIPLICATIVE_GROUP_GENERATOR)
             tw = pctx.put((jnp.asarray(tabs[0]), jnp.asarray(tabs[1])), tw_sharding)
             small = [jnp.asarray(t) for t in tabs[2:]]
-            return f(q, (tw[0], tw[1], *small))
+            return quotient_coset_ifft_mesh(q, (tw[0], tw[1], *small))
 
         return call
 
     @jax.jit
-    def f(q):
+    def quotient_coset_ifft(q):
         coeffs = ntt.coset_ifft(q)
         chunks = (coeffs[0].reshape(num_chunks, n), coeffs[1].reshape(num_chunks, n))
         return pctx.constrain(chunks, polys)
 
-    return f
+    return quotient_coset_ifft
 
 
 def _natural_order_values(batch: fo.PolynomialBatch, step: int = 1) -> gf.Gf:
@@ -691,7 +691,7 @@ def _make_lookup_polys_device_fn(prover_data, common):
         return prefix, (pref_lo[-1], pref_hi[-1])
 
     @jax.jit
-    def f(wires, deltas):
+    def lookup_polys_fn(wires, deltas):
         out_lo, out_hi = [], []
         for c in range(nc):
             def dd(k):
@@ -789,7 +789,7 @@ def _make_lookup_polys_device_fn(prover_data, common):
             out_hi.append(polys_hi)
         return jnp.concatenate(out_lo, axis=0), jnp.concatenate(out_hi, axis=0)
 
-    return f
+    return lookup_polys_fn
 
 
 def _lut_evals_device(deltas: gf.Gf, common) -> gf.Gf:

@@ -57,6 +57,9 @@ def _gate_block_fn(gate, sel, group, many, consts_offset, key_extra):
         fhi = jnp.stack([gf.mul(filt, c)[1] for c in evals])
         return flo, fhi
 
+    fn.__name__ = "gate_block_" + "".join(
+        ch if ch.isalnum() else "_" for ch in gate.id()[:40]
+    )
     jfn = jax.jit(fn)
     _GATE_BLOCK_CACHE[key] = jfn
     return jfn

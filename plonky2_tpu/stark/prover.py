@@ -135,6 +135,7 @@ def _quotient_fn(
             out_hi.append(q[1])
         return jnp.stack(out_lo), jnp.stack(out_hi)
 
+    fn.__name__ = "stark_quotient"
     jfn = jax.jit(fn)
     _QUOTIENT_CACHE[key] = jfn
     return jfn
