@@ -23,6 +23,7 @@ reference's evaluation order.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -110,9 +111,194 @@ def _butterflies(x: gf.Gf, tables, first_stage: int = 0) -> gf.Gf:
     return lo, hi
 
 
+# ---------------------------------------------------------------------------
+# Four-step (Bailey) transform for large N
+#
+# The flat radix-2 pipeline above embeds its per-stage root tables as XLA
+# constants (O(N) data baked into the executable — 817 MB at 2^24) and its
+# late stages stride across the whole array (measured ~1% of the blocked
+# 2-pass speed-of-light at 2^24). Past _FOUR_STEP_LOG the transform runs
+# as DFT_N = transpose . DFT_N1 . twiddle . DFT_N2 . transpose over the
+# [N2, N1] row-major matrix view: every butterfly acts on a contiguous
+# 2^~12-wide row, the only full-array data movements are matrix
+# transposes (XLA's tiled relayout), and the N-sized twiddle matrix is
+# built ON DEVICE once per (size, direction) and cached — executables
+# stay O(sqrt N). This is the single-chip sibling of the mesh six-step
+# NTT (parallel/ntt.py); reference capability: field/src/fft.rs +
+# projects/cache-friendly-fft (the reference's own planned blocked FFT).
+# ---------------------------------------------------------------------------
+
+_FOUR_STEP_LOG = int(os.environ.get("PLONKY2_TPU_FOUR_STEP_LOG", "16"))
+
+def _build_twiddles_np(a: np.ndarray, n2_log: int) -> np.ndarray:
+    """T[i, j] = a[i]^j for j in [2^n2_log], by column-doubling: log2(N2)
+    vectorized numpy passes (exact u64 Goldilocks mul)."""
+    n1 = a.shape[0]
+    n2 = 1 << n2_log
+    t = np.zeros((n1, n2), dtype=np.uint64)
+    t[:, 0] = 1
+    step = a.copy()  # a^filled
+    filled = 1
+    while filled < n2:
+        k = min(filled, n2 - filled)
+        t[:, filled : filled + k] = gl.np_mul(t[:, :k], step[:, None])
+        step = gl.np_mul(step, step)
+        filled += k
+    return t
+
+
+def _split_logs(n_log: int):
+    n1_log = n_log // 2
+    return n1_log, n_log - n1_log
+
+
+@lru_cache(maxsize=None)
+def _twiddle_factors(n_log: int, inverse: bool):
+    """The four-step twiddle T[n1, k2] = w^(n1*k2) in FACTORED form:
+    with k2 = k2b*2^ha + k2a, T = A[n1, k2a] * B[n1, k2b] where
+    A[n1, j] = w^(n1*j) and B[n1, j] = (w^(2^ha))^(n1*j). The factors
+    are O(N1*sqrt(N2)) numpy constants (~1.6 MB at 2^22) — embedding
+    the full O(N) matrix (32 MB at 2^22) as an XLA constant is what
+    made the flat path's executables gigabytes, and this jax version
+    embeds even closed-over device arrays as MLIR literals."""
+    n1_log, n2_log = _split_logs(n_log)
+    ha = n2_log // 2
+    hb = n2_log - ha
+    w = gl.primitive_root_of_unity(n_log)
+    if inverse:
+        w = gl.ginv(w)
+    base = gl.np_powers(w, 1 << n1_log)  # w^(n1)
+    a = _split_np(_build_twiddles_np(base, ha))  # [N1, 2^ha]
+    base_b = gl.np_powers(gl.gexp(w, 1 << ha), 1 << n1_log)  # (w^(2^ha))^(n1)
+    b = _split_np(_build_twiddles_np(base_b, hb))  # [N1, 2^hb]
+    return a, b, ha, hb
+
+
+def _apply_twiddle(y: gf.Gf, n_log: int, inverse: bool) -> gf.Gf:
+    """y[..., n1, k2] *= w^(n1*k2) via the factored tables (two
+    broadcast multiplies; no O(N) constant)."""
+    a, b, ha, hb = _twiddle_factors(n_log, inverse)
+    lead = y[0].shape[:-2]
+    n1 = y[0].shape[-2]
+    lo = y[0].reshape(lead + (n1, 1 << hb, 1 << ha))
+    hi = y[1].reshape(lead + (n1, 1 << hb, 1 << ha))
+    av = (
+        jnp.broadcast_to(jnp.asarray(a[0])[:, None, :], lo.shape),
+        jnp.broadcast_to(jnp.asarray(a[1])[:, None, :], hi.shape),
+    )
+    bv = (
+        jnp.broadcast_to(jnp.asarray(b[0])[:, :, None], lo.shape),
+        jnp.broadcast_to(jnp.asarray(b[1])[:, :, None], hi.shape),
+    )
+    out = gf.mul(gf.mul((lo, hi), av), bv)
+    return (
+        out[0].reshape(y[0].shape),
+        out[1].reshape(y[1].shape),
+    )
+
+
+def _fft_last_axis(x: gf.Gf, k_log: int, inverse: bool,
+                   first_stage: int = 0) -> gf.Gf:
+    """Butterflies over the last axis (input already bit-reversed or
+    seeded). PLONKY2_TPU_PALLAS_NTT=1 routes through the fused-VMEM
+    Pallas row-FFT kernel; measured on v5e 2026-08-20 the mask+roll
+    kernel LOSES to the XLA per-stage pipeline at the four-step's inner
+    widths (96 ms vs 6.9 ms for a 2^22 transform), so XLA stays the
+    default — the kernel's win is the ≤2^12-row six-step local regime
+    (module header of pallas_kernels.py)."""
+    from ..parallel import context as _pctx
+    from . import pallas_kernels as pk
+
+    k = 1 << k_log
+    if (
+        os.environ.get("PLONKY2_TPU_PALLAS_NTT", "0") == "1"
+        and 10 <= k_log <= pk.MAX_FUSED_LOG  # <2^10 widths wedge Mosaic
+        # (hang on fetch, observed at [256,256] on v5e)
+        and _pctx.get_mesh() is None
+        and pk.use_pallas()
+    ):
+        lead = x[0].shape[:-1]
+        x2 = (x[0].reshape(-1, k), x[1].reshape(-1, k))
+        out = pk._row_fft_core(
+            x2, k_log, inverse, pk.interpret_mode(), first_stage
+        )
+        return out[0].reshape(lead + (k,)), out[1].reshape(lead + (k,))
+    return _butterflies(x, stage_roots(k_log, inverse), first_stage=first_stage)
+
+
+def _fft_four_step(x: gf.Gf, n_log: int, inverse: bool,
+                   seeded_rate_bits: int = 0) -> gf.Gf:
+    """DFT over the last axis via the [N2, N1] matrix decomposition.
+
+    With seeded_rate_bits = r > 0 (forward only), the input is the
+    UNPADDED coefficient array of length N >> r: its row-major reshape
+    occupies the first N2>>r rows of the [N2, N1] view, so the inner
+    column transform applies the zero_factor seeding (bit-reverse +
+    replicate + skip the first r stages) instead of transforming
+    explicit zero padding."""
+    n1_log, n2_log = _split_logs(n_log)
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    lo, hi = x
+    lead = lo.shape[:-1]
+    if seeded_rate_bits:
+        assert not inverse
+        m = n2 >> seeded_rate_bits
+        assert lo.shape[-1] == m * n1
+        lo = jnp.swapaxes(lo.reshape(lead + (m, n1)), -1, -2)
+        hi = jnp.swapaxes(hi.reshape(lead + (m, n1)), -1, -2)
+        z = bit_reverse((lo, hi))  # m-point reversal along last axis
+        seed = (
+            jnp.repeat(z[0], 1 << seeded_rate_bits, axis=-1),
+            jnp.repeat(z[1], 1 << seeded_rate_bits, axis=-1),
+        )
+        y = _fft_last_axis(seed, n2_log, False, first_stage=seeded_rate_bits)
+    else:
+        lo = jnp.swapaxes(lo.reshape(lead + (n2, n1)), -1, -2)
+        hi = jnp.swapaxes(hi.reshape(lead + (n2, n1)), -1, -2)
+        y = _fft_last_axis(bit_reverse((lo, hi)), n2_log, inverse)
+    y = _apply_twiddle(y, n_log, inverse)
+    ylo = jnp.swapaxes(y[0], -1, -2)  # [.., N2(k2), N1(n1)]
+    yhi = jnp.swapaxes(y[1], -1, -2)
+    w = _fft_last_axis(bit_reverse((ylo, yhi)), n1_log, inverse)
+    xlo = jnp.swapaxes(w[0], -1, -2).reshape(lead + (n1 * n2,))
+    xhi = jnp.swapaxes(w[1], -1, -2).reshape(lead + (n1 * n2,))
+    return xlo, xhi
+
+
+def _scale_rank1(x: gf.Gf, shift: int) -> gf.Gf:
+    """x[..., i] * shift^i without an O(N) constant: shift^i factors as
+    (shift^N1)^(i2) * shift^(i1) over the row-major [N2, N1] view."""
+    n = x[0].shape[-1]
+    n_log = log2_strict(n)
+    n1_log, n2_log = _split_logs(n_log)
+    n1, n2 = 1 << n1_log, 1 << n2_log
+    row = _split_np(gl.np_powers(shift, n1))
+    col = _split_np(gl.np_powers(gl.gexp(shift, n1), n2))
+    lead = x[0].shape[:-1]
+    lo = x[0].reshape(lead + (n2, n1))
+    hi = x[1].reshape(lead + (n2, n1))
+    y = gf.mul(
+        (lo, hi),
+        (
+            jnp.broadcast_to(jnp.asarray(row[0]), lo.shape),
+            jnp.broadcast_to(jnp.asarray(row[1]), hi.shape),
+        ),
+    )
+    y = gf.mul(
+        y,
+        (
+            jnp.broadcast_to(jnp.asarray(col[0])[:, None], lo.shape),
+            jnp.broadcast_to(jnp.asarray(col[1])[:, None], hi.shape),
+        ),
+    )
+    return y[0].reshape(x[0].shape), y[1].reshape(x[1].shape)
+
+
 def fft(coeffs: gf.Gf) -> gf.Gf:
     """Coefficients -> values on the 2^k subgroup, natural (power) order."""
     n_log = log2_strict(coeffs[0].shape[-1])
+    if n_log >= _FOUR_STEP_LOG:
+        return _fft_four_step(coeffs, n_log, False)
     return _butterflies(bit_reverse(coeffs), stage_roots(n_log, False))
 
 
@@ -120,7 +306,10 @@ def ifft(values: gf.Gf) -> gf.Gf:
     """Values on subgroup -> coefficients."""
     n = values[0].shape[-1]
     n_log = log2_strict(n)
-    out = _butterflies(bit_reverse(values), stage_roots(n_log, True))
+    if n_log >= _FOUR_STEP_LOG:
+        out = _fft_four_step(values, n_log, True)
+    else:
+        out = _butterflies(bit_reverse(values), stage_roots(n_log, True))
     n_inv = gl.ginv(n % gl.P)
     return gf.mul_const(out, n_inv)
 
@@ -133,6 +322,8 @@ def _shift_powers(shift: int, n: int):
 def coset_fft(coeffs: gf.Gf, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gf.Gf:
     """Values of the polynomial on the coset shift*H."""
     n = coeffs[0].shape[-1]
+    if log2_strict(n) >= _FOUR_STEP_LOG:
+        return fft(_scale_rank1(coeffs, shift))
     sp = _shift_powers(shift, n)
     scaled = gf.mul(coeffs, (jnp.broadcast_to(sp[0], coeffs[0].shape), jnp.broadcast_to(sp[1], coeffs[1].shape)))
     return fft(scaled)
@@ -141,7 +332,10 @@ def coset_fft(coeffs: gf.Gf, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> 
 def coset_ifft(values: gf.Gf, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gf.Gf:
     """Inverse of coset_fft."""
     coeffs = ifft(values)
-    sp = _shift_powers(gl.ginv(shift), values[0].shape[-1])
+    n = values[0].shape[-1]
+    if log2_strict(n) >= _FOUR_STEP_LOG:
+        return _scale_rank1(coeffs, gl.ginv(shift))
+    sp = _shift_powers(gl.ginv(shift), n)
     return gf.mul(coeffs, (jnp.broadcast_to(sp[0], coeffs[0].shape), jnp.broadcast_to(sp[1], coeffs[1].shape)))
 
 
@@ -170,6 +364,19 @@ def lde_onto_coset(coeffs: gf.Gf, rate_bits: int,
         return coset_fft(coeffs, shift)
     n = coeffs[0].shape[-1]
     n_log = log2_strict(n)
+    lde_log = n_log + rate_bits
+    if lde_log >= _FOUR_STEP_LOG:
+        # four-step with the zero_factor seeding folded into the inner
+        # column transform; coset scaling stays rank-1 (no O(N) constant).
+        # Requires the nonzero prefix to cover whole rows of the
+        # [N2, N1] view (n >= N1), true for any rate_bits <= n_log/2.
+        n1_log, n2_log = _split_logs(lde_log)
+        if n_log >= n1_log:
+            scaled = _scale_rank1(coeffs, shift)
+            return _fft_four_step(
+                scaled, lde_log, False, seeded_rate_bits=rate_bits
+            )
+        return fft(lde(_scale_rank1(coeffs, shift), rate_bits))
     # coset scaling acts on the unpadded coefficients (zeros stay zero)
     sp = _shift_powers(shift, n)
     scaled = gf.mul(

@@ -151,7 +151,7 @@ def _stacked_tables(n_log: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def _fft_body(n_log: int, xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
+def _fft_body(n_log: int, first_stage: int, xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
     """Mask+roll DIT butterflies: 2-D [rows, N] tensors only (Mosaic has
     no cheap interior reshapes). For stage s with half = 2^s, lane i pairs
     with lane i^half; the same twiddle applies at both lanes:
@@ -163,7 +163,7 @@ def _fft_body(n_log: int, xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
     rows = lo.shape[0]
     n = lo.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n), dimension=1)
-    for s in range(n_log):
+    for s in range(first_stage, n_log):
         half = 1 << s
         is_hi = (lane & half) != 0
         w = (
@@ -185,9 +185,12 @@ def _fft_body(n_log: int, xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
     ohi_ref[:] = hi
 
 
-def _row_fft_core(x: gf.Gf, n_log: int, inverse: bool, interpret: bool) -> gf.Gf:
-    """All n_log stages fused in VMEM over [M, 2^n_log] rows; NO final
-    1/N scaling (callers handle it, so the hybrid path can defer it)."""
+def _row_fft_core(x: gf.Gf, n_log: int, inverse: bool, interpret: bool,
+                  first_stage: int = 0) -> gf.Gf:
+    """Stages first_stage..n_log fused in VMEM over [M, 2^n_log] rows
+    (first_stage > 0 = zero_factor-seeded input, ops/ntt.lde_onto_coset);
+    NO final 1/N scaling (callers handle it, so the hybrid path can
+    defer it)."""
     m, n = x[0].shape
     assert n == 1 << n_log
     tlo, thi = _stacked_tables(n_log, inverse)
@@ -207,7 +210,7 @@ def _row_fft_core(x: gf.Gf, n_log: int, inverse: bool, interpret: bool) -> gf.Gf
         jax.ShapeDtypeStruct((rows_all, n), jnp.uint32),
     )
     out = pl.pallas_call(
-        partial(_fft_body, n_log),
+        partial(_fft_body, n_log, first_stage),
         out_shape=out_shape,
         grid=grid,
         in_specs=[spec, spec, tspec, tspec],

@@ -71,3 +71,32 @@ def test_fibonacci_stark_rejects_wrong_result():
     pwp.public_inputs[2] = (pwp.public_inputs[2] + 1) % (2**64 - 2**32 + 1)
     with pytest.raises(StarkVerificationError):
         verify_stark_proof(stark, pwp, config, degree_bits=5)
+
+
+@pytest.mark.slow
+def test_fibonacci_stark_2_22_mesh_prove():
+    """BASELINE north star at test scale: a 2^22-row FibonacciStark
+    proven under the 8-device mesh — the domain-sharded trace commit /
+    quotient path at a size where sharding is load-bearing — then
+    verified, with per-device peak memory recorded (on the CPU backend
+    memory_stats may be unavailable; the TPU counterpart is the
+    driver bench's `stark` workload, benches/driver_workloads.py)."""
+    import jax
+
+    from plonky2_tpu.parallel import context as pctx
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (see conftest)")
+    log2_rows = 22
+    num_rows = 1 << log2_rows
+    stark = FibonacciStark(num_rows)
+    config = StarkConfig.standard_fast_config()
+    trace = stark.generate_trace(0, 1)
+    pis = [0, 1, fibonacci_res(num_rows, 0, 1)]
+    with pctx.prover_mesh(pctx.make_prover_mesh(8)):
+        pwp = prove(stark, config, trace, pis)
+    verify_stark_proof(stark, pwp, config, degree_bits=log2_rows)
+    peaks = [
+        (d.memory_stats() or {}).get("peak_bytes_in_use") for d in jax.devices()
+    ]
+    print(f"per-device peak bytes: {peaks}")
