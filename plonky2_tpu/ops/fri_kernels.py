@@ -146,23 +146,27 @@ def ext_coset_fft(coeffs: gf.Gf) -> gf.Gf:
 def fold_coeffs(coeffs: gf.Gf, beta_powers: gf.Gf, arity_bits: int) -> gf.Gf:
     """new_coeffs[i] = sum_j beta^j * coeffs[arity*i + j] (extension).
 
-    beta_powers: [arity, 2] limb pair of (1, beta, ..., beta^(arity-1))."""
+    beta_powers: [arity, 2] limb pair of (1, beta, ..., beta^(arity-1)).
+
+    One broadcast ext-mul over the contiguous [n/arity, arity, 2] view,
+    then a log2(arity)-step tree reduction over contiguous halves of the
+    arity axis (field addition is associative/commutative, so the
+    reordering is exact). The per-j slice loop this replaces issued
+    arity strided gathers (stride = arity on the minor axis) and ran at
+    0.6% of HBM speed-of-light on a 2^22 fold."""
     arity = 1 << arity_bits
     n = coeffs[0].shape[0]
     clo = coeffs[0].reshape(n // arity, arity, 2)
     chi = coeffs[1].reshape(n // arity, arity, 2)
     blo, bhi = beta_powers
-    acc = gf.zeros((n // arity, 2))
-    for j in range(arity):
-        term = gf.ext2_mul(
-            (clo[:, j, :], chi[:, j, :]),
-            (
-                jnp.broadcast_to(blo[j], (n // arity, 2)),
-                jnp.broadcast_to(bhi[j], (n // arity, 2)),
-            ),
+    lo, hi = gf.ext2_mul((clo, chi), (blo[None, :, :], bhi[None, :, :]))
+    k = arity
+    while k > 1:
+        k //= 2
+        lo, hi = gf.add(
+            (lo[:, :k, :], hi[:, :k, :]), (lo[:, k:, :], hi[:, k:, :])
         )
-        acc = gf.add(acc, term)
-    return acc
+    return lo[:, 0, :], hi[:, 0, :]
 
 
 @jax.jit

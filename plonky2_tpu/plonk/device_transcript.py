@@ -209,7 +209,7 @@ def _open_reduce(common, prover_data, layout: tuple):
         assert n_in == 0
         return evals, lde_coeffs, lde_values, (slo, shi)
 
-    _OPEN_REDUCE_CACHE[key] = f
+    _OPEN_REDUCE_CACHE[key] = openings_at_zeta
     return openings_at_zeta
 
 
