@@ -14,10 +14,16 @@ examples/bench_recursion.rs (recursive proof), starky 2^22 north star
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# SIGUSR1 dumps every thread's Python stack to stderr — lets an operator
+# see where a long cold prove is spending its time without killing it.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 _COMPILES = {"programs": 0, "compile_s": 0.0}
@@ -238,6 +244,7 @@ def stark(log2_rows: int = 22) -> None:
     trace_s = time.perf_counter() - t0
     pis = [0, 1, fibonacci_res(n, 0, 1)]
     base = {"metric": f"fibonacci_stark_2^{log2_rows}_rows", "unit": "ms"}
+    _say({**base, "note": "trace generated", "trace_gen_s": round(trace_s, 1)})
     t0 = time.perf_counter()
     proof = sprove(st, config, trace, pis)
     cold_s = time.perf_counter() - t0
@@ -296,6 +303,7 @@ def large(log2_size: int = 16) -> None:
         "build_s": round(build_s, 1),
         "degree_bits": data.common.degree_bits,
     }
+    _say({**base, "note": "built"})
     t0 = time.perf_counter()
     pwp = prove(data.prover_only, data.common, PartialWitness())
     cold_s = time.perf_counter() - t0
