@@ -18,6 +18,7 @@ import numpy as np
 from ..field import goldilocks as gl
 from ..utils.bits import reverse_index_bits_perm
 from . import gf, merkle, ntt
+from .bitrev import bitrev_axis, bitrev_gf
 from .poseidon import SPONGE_RATE
 
 
@@ -46,8 +47,7 @@ def _lde_leaves_jit(mesh_key, rate_bits: int, num_polys: int):
         vals = ntt.lde_onto_coset(coeffs, rate_bits)  # [M_padded, lde_n]
         lo = vals[0].T[:, :num_polys]  # [lde_n, M]
         hi = vals[1].T[:, :num_polys]
-        idx = reverse_index_bits_perm(lo.shape[0])
-        out = jnp.take(lo, idx, axis=0), jnp.take(hi, idx, axis=0)
+        out = bitrev_axis(lo, axis=0), bitrev_axis(hi, axis=0)
         return pctx.constrain(out, rows)
 
     return lde_leaves_fn
@@ -171,17 +171,15 @@ def fold_coeffs(coeffs: gf.Gf, beta_powers: gf.Gf, arity_bits: int) -> gf.Gf:
 
 @jax.jit
 def bitrev_chunk_leaves_identity(values: gf.Gf) -> gf.Gf:
-    idx = reverse_index_bits_perm(values[0].shape[0])
-    return jnp.take(values[0], idx, axis=0), jnp.take(values[1], idx, axis=0)
+    return bitrev_gf(values, axis=0)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _commit_phase_leaves_and_levels(values, arity_bits: int, cap_height: int):
     n = values[0].shape[0]
     arity = 1 << arity_bits
-    idx = reverse_index_bits_perm(n)
-    rlo = jnp.take(values[0], idx, axis=0)
-    rhi = jnp.take(values[1], idx, axis=0)
+    rlo = bitrev_axis(values[0], axis=0)
+    rhi = bitrev_axis(values[1], axis=0)
     leaves = (rlo.reshape(n // arity, arity * 2), rhi.reshape(n // arity, arity * 2))
     from ..utils.bits import log2_strict
 
@@ -193,9 +191,8 @@ def _commit_phase_leaves_and_levels(values, arity_bits: int, cap_height: int):
 def _commit_phase_leaves(values, arity_bits: int):
     n = values[0].shape[0]
     arity = 1 << arity_bits
-    idx = reverse_index_bits_perm(n)
-    rlo = jnp.take(values[0], idx, axis=0)
-    rhi = jnp.take(values[1], idx, axis=0)
+    rlo = bitrev_axis(values[0], axis=0)
+    rhi = bitrev_axis(values[1], axis=0)
     return rlo.reshape(n // arity, arity * 2), rhi.reshape(n // arity, arity * 2)
 
 

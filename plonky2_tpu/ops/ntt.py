@@ -83,8 +83,9 @@ def _bitrev_idx(n: int):
 
 
 def bit_reverse(x: gf.Gf) -> gf.Gf:
-    idx = _bitrev_idx(x[0].shape[-1])
-    return jnp.take(x[0], idx, axis=-1), jnp.take(x[1], idx, axis=-1)
+    from .bitrev import bitrev_gf
+
+    return bitrev_gf(x, axis=-1)
 
 
 def _butterflies(x: gf.Gf, tables, first_stage: int = 0) -> gf.Gf:
@@ -108,6 +109,45 @@ def _butterflies(x: gf.Gf, tables, first_stage: int = 0) -> gf.Gf:
         b = gf.sub(u, t)
         lo = jnp.stack([a[0], b[0]], axis=-2).reshape(lead + (n,))
         hi = jnp.stack([a[1], b[1]], axis=-2).reshape(lead + (n,))
+    return lo, hi
+
+
+def _butterflies_rows(x: gf.Gf, tables, first_stage: int = 0) -> gf.Gf:
+    """DIT butterflies along axis -2 (the sublane/row axis); the minor
+    axis rides along as vector lanes and is never reshaped or permuted,
+    so every stage is pure full-lane elementwise VPU work — the
+    TPU-friendly orientation (the last-axis variant above reshapes the
+    minor dim every stage, forcing a relayout per HBM pass). Measured on
+    v5e: radix-4 stage-pairing and where-select assembly both LOSE to
+    this radix-2 + concatenate form (XLA materializes their extra
+    intermediates); stage fusion beyond radix-2 belongs to the Pallas
+    column kernel, not XLA.
+
+    x: [..., N, L], input bit-reversed along axis -2 (or seeded past
+    first_stage); tables indexed by absolute stage ([2^s] twiddles).
+    """
+    lo, hi = x
+    lead = lo.shape[:-2]
+    n, lanes = lo.shape[-2], lo.shape[-1]
+    n_log = log2_strict(n)
+
+    for s in range(first_stage, n_log):
+        half = 1 << s
+        nblocks = n >> (s + 1)
+        rlo = lo.reshape(lead + (nblocks, 2, half, lanes))
+        rhi = hi.reshape(lead + (nblocks, 2, half, lanes))
+        u = (rlo[..., 0, :, :], rhi[..., 0, :, :])
+        v = (rlo[..., 1, :, :], rhi[..., 1, :, :])
+        wlo, whi = tables[s]
+        wv = (
+            jnp.broadcast_to(jnp.asarray(wlo)[:, None], v[0].shape),
+            jnp.broadcast_to(jnp.asarray(whi)[:, None], v[1].shape),
+        )
+        t = gf.mul(v, wv)
+        a = gf.add(u, t)
+        b = gf.sub(u, t)
+        lo = jnp.concatenate([a[0], b[0]], axis=-2).reshape(lead + (n, lanes))
+        hi = jnp.concatenate([a[1], b[1]], axis=-2).reshape(lead + (n, lanes))
     return lo, hi
 
 
@@ -200,42 +240,99 @@ def _apply_twiddle(y: gf.Gf, n_log: int, inverse: bool) -> gf.Gf:
 def _fft_last_axis(x: gf.Gf, k_log: int, inverse: bool,
                    first_stage: int = 0) -> gf.Gf:
     """Butterflies over the last axis (input already bit-reversed or
-    seeded). PLONKY2_TPU_PALLAS_NTT=1 routes through the fused-VMEM
-    Pallas row-FFT kernel; measured on v5e 2026-08-20 the mask+roll
-    kernel LOSES to the XLA per-stage pipeline at the four-step's inner
-    widths (96 ms vs 6.9 ms for a 2^22 transform), so XLA stays the
-    default — the kernel's win is the ≤2^12-row six-step local regime
-    (module header of pallas_kernels.py)."""
-    from ..parallel import context as _pctx
+    seeded). The lane-axis Pallas hybrid that used to hang off this
+    function measured SLOWER than XLA at the four-step's inner widths
+    (96 ms vs 6.9 ms for a 2^22 transform, v5e 2026-08-20) because its
+    mask+roll ran along LANES; the fused kernel now lives on the
+    sublane-oriented path instead (_fft_rows -> pallas_kernels.col_fft)."""
+    return _butterflies(x, stage_roots(k_log, inverse), first_stage=first_stage)
+
+
+@lru_cache(maxsize=None)
+def _twiddle_factors_rows(n_log: int, inverse: bool):
+    """The factored four-step twiddles transposed for the row-oriented
+    layout [k2, i1]: A_T[k2a, i1] = w^(i1*k2a), B_T[k2b, i1] =
+    (w^(2^ha))^(i1*k2b). Same O(sqrt-ish) footprint as _twiddle_factors."""
+    a, b, ha, hb = _twiddle_factors(n_log, inverse)
+    at = (np.ascontiguousarray(a[0].T), np.ascontiguousarray(a[1].T))
+    bt = (np.ascontiguousarray(b[0].T), np.ascontiguousarray(b[1].T))
+    return at, bt, ha, hb
+
+
+def _apply_twiddle_rows(y: gf.Gf, n_log: int, inverse: bool) -> gf.Gf:
+    """y[..., k2, i1] *= w^(i1*k2) via the factored tables; rows split
+    as k2 = k2b*2^ha + k2a, both factors broadcast along lanes."""
+    at, bt, ha, hb = _twiddle_factors_rows(n_log, inverse)
+    lead = y[0].shape[:-2]
+    n1 = y[0].shape[-1]
+    lo = y[0].reshape(lead + (1 << hb, 1 << ha, n1))
+    hi = y[1].reshape(lead + (1 << hb, 1 << ha, n1))
+    av = (
+        jnp.broadcast_to(jnp.asarray(at[0])[None, :, :], lo.shape),
+        jnp.broadcast_to(jnp.asarray(at[1])[None, :, :], hi.shape),
+    )
+    bv = (
+        jnp.broadcast_to(jnp.asarray(bt[0])[:, None, :], lo.shape),
+        jnp.broadcast_to(jnp.asarray(bt[1])[:, None, :], hi.shape),
+    )
+    out = gf.mul(gf.mul((lo, hi), av), bv)
+    return out[0].reshape(y[0].shape), out[1].reshape(y[1].shape)
+
+
+def _bitrev_rows(x: gf.Gf) -> gf.Gf:
+    from .bitrev import bitrev_gf
+
+    return bitrev_gf(x, axis=-2)
+
+
+def _fft_rows(x: gf.Gf, k_log: int, inverse: bool,
+              first_stage: int = 0) -> gf.Gf:
+    """DFT along axis -2 (input bit-reversed along that axis).
+
+    On TPU the first min(k_log, COL_FFT_MAX_LOG) stages run as ONE
+    fused-VMEM Pallas pass: DIT stages s < b only ever pair rows within
+    contiguous 2^b-row blocks and their twiddles depend only on
+    row mod 2^s, so the [N, L] view reshapes to [N/2^b, 2^b, L] and the
+    column kernel runs batched over the blocks. Any remaining
+    cross-block stages run as XLA radix-2 row passes."""
     from . import pallas_kernels as pk
 
-    k = 1 << k_log
-    if (
-        os.environ.get("PLONKY2_TPU_PALLAS_NTT", "0") == "1"
-        and 10 <= k_log <= pk.MAX_FUSED_LOG  # <2^10 widths wedge Mosaic
-        # (hang on fetch, observed at [256,256] on v5e)
-        and _pctx.get_mesh() is None
-        and pk.use_pallas()
-    ):
-        lead = x[0].shape[:-1]
-        x2 = (x[0].reshape(-1, k), x[1].reshape(-1, k))
-        out = pk._row_fft_core(
-            x2, k_log, inverse, pk.interpret_mode(), first_stage
+    b = min(k_log, pk.COL_FFT_MAX_LOG)
+    if first_stage < b and pk.col_fft_enabled(b, x[0].shape):
+        lead = x[0].shape[:-2]
+        n, lanes = x[0].shape[-2:]
+        blocks = n >> b
+        xb = (
+            x[0].reshape(lead + (blocks, 1 << b, lanes)),
+            x[1].reshape(lead + (blocks, 1 << b, lanes)),
         )
-        return out[0].reshape(lead + (k,)), out[1].reshape(lead + (k,))
-    return _butterflies(x, stage_roots(k_log, inverse), first_stage=first_stage)
+        out = pk.col_fft(xb, b, inverse, first_stage)
+        x = (
+            out[0].reshape(lead + (n, lanes)),
+            out[1].reshape(lead + (n, lanes)),
+        )
+        first_stage = b
+    if first_stage >= k_log:
+        return x
+    return _butterflies_rows(x, stage_roots(k_log, inverse), first_stage)
 
 
 def _fft_four_step(x: gf.Gf, n_log: int, inverse: bool,
                    seeded_rate_bits: int = 0) -> gf.Gf:
-    """DFT over the last axis via the [N2, N1] matrix decomposition.
+    """DFT over the last axis via the [N2, N1] matrix decomposition,
+    row-oriented: with the flat index split i = i2*N1 + i1, the array IS
+    the [N2, N1] matrix, the column transform (over i2) runs along the
+    sublane axis with i1 as untouched vector lanes, and only ONE
+    transpose sits between the two transforms (the output [k1, k2]
+    flattens directly to k = k1*N2 + k2). Butterflies never reshape the
+    minor axis, so every stage is a relayout-free full-lane pass.
 
     With seeded_rate_bits = r > 0 (forward only), the input is the
     UNPADDED coefficient array of length N >> r: its row-major reshape
-    occupies the first N2>>r rows of the [N2, N1] view, so the inner
-    column transform applies the zero_factor seeding (bit-reverse +
-    replicate + skip the first r stages) instead of transforming
-    explicit zero padding."""
+    occupies the first N2>>r rows of the [N2, N1] view, so the column
+    transform applies the zero_factor seeding (bit-reverse + replicate
+    + skip the first r stages) instead of transforming explicit zero
+    padding."""
     n1_log, n2_log = _split_logs(n_log)
     n1, n2 = 1 << n1_log, 1 << n2_log
     lo, hi = x
@@ -244,25 +341,23 @@ def _fft_four_step(x: gf.Gf, n_log: int, inverse: bool,
         assert not inverse
         m = n2 >> seeded_rate_bits
         assert lo.shape[-1] == m * n1
-        lo = jnp.swapaxes(lo.reshape(lead + (m, n1)), -1, -2)
-        hi = jnp.swapaxes(hi.reshape(lead + (m, n1)), -1, -2)
-        z = bit_reverse((lo, hi))  # m-point reversal along last axis
+        mview = (lo.reshape(lead + (m, n1)), hi.reshape(lead + (m, n1)))
+        z = _bitrev_rows(mview)  # m-point reversal along the row axis
         seed = (
-            jnp.repeat(z[0], 1 << seeded_rate_bits, axis=-1),
-            jnp.repeat(z[1], 1 << seeded_rate_bits, axis=-1),
+            jnp.repeat(z[0], 1 << seeded_rate_bits, axis=-2),
+            jnp.repeat(z[1], 1 << seeded_rate_bits, axis=-2),
         )
-        y = _fft_last_axis(seed, n2_log, False, first_stage=seeded_rate_bits)
+        y = _fft_rows(seed, n2_log, False, first_stage=seeded_rate_bits)
     else:
-        lo = jnp.swapaxes(lo.reshape(lead + (n2, n1)), -1, -2)
-        hi = jnp.swapaxes(hi.reshape(lead + (n2, n1)), -1, -2)
-        y = _fft_last_axis(bit_reverse((lo, hi)), n2_log, inverse)
-    y = _apply_twiddle(y, n_log, inverse)
-    ylo = jnp.swapaxes(y[0], -1, -2)  # [.., N2(k2), N1(n1)]
-    yhi = jnp.swapaxes(y[1], -1, -2)
-    w = _fft_last_axis(bit_reverse((ylo, yhi)), n1_log, inverse)
-    xlo = jnp.swapaxes(w[0], -1, -2).reshape(lead + (n1 * n2,))
-    xhi = jnp.swapaxes(w[1], -1, -2).reshape(lead + (n1 * n2,))
-    return xlo, xhi
+        mview = (lo.reshape(lead + (n2, n1)), hi.reshape(lead + (n2, n1)))
+        y = _fft_rows(_bitrev_rows(mview), n2_log, inverse)
+    y = _apply_twiddle_rows(y, n_log, inverse)  # [k2, i1]
+    z2 = (jnp.swapaxes(y[0], -1, -2), jnp.swapaxes(y[1], -1, -2))  # [i1, k2]
+    w = _fft_rows(_bitrev_rows(z2), n1_log, inverse)  # [k1, k2]
+    return (
+        w[0].reshape(lead + (n1 * n2,)),
+        w[1].reshape(lead + (n1 * n2,)),
+    )
 
 
 def _scale_rank1(x: gf.Gf, shift: int) -> gf.Gf:

@@ -269,3 +269,159 @@ def ifft(values: gf.Gf, interpret: bool = False) -> gf.Gf:
 
     n_log = log2_strict(values[0].shape[-1])
     return row_fft_bitrev(ntt.bit_reverse(values), n_log, True, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Column FFT: all butterfly stages along the SUBLANE axis of an [N, L]
+# tile, fused in one VMEM residency. This is the four-step NTT's inner
+# transform (ops/ntt._fft_four_step): rows are the transform axis, the
+# lane axis rides along untouched, so the butterflies need no lane
+# shuffles at all — partners sit a fixed number of SUBLANES apart and
+# arrive via pltpu.roll on dimension 0. One kernel pass replaces
+# k_log XLA HBM passes.
+# ---------------------------------------------------------------------------
+
+# Per-block VMEM budget: the unrolled stage chain keeps ~12-16 live
+# [N, 128] u32 planes (measured: N=2^10 blocks hit Mosaic's 16 MB scoped
+# limit at 18.2 MB with a two-mul mask+roll body). N=2^10 with the
+# sliced single-mul body fits; transforms with more rows split:
+# ntt._fft_rows runs the first COL_FFT_MAX_LOG stages here (batched over
+# contiguous row blocks) and the cross-block tail in XLA.
+COL_FFT_MAX_LOG = 10
+_COL_LB = 128
+
+
+# Measured v5e crossover (2026-08-20): the XLA radix-2 row pipeline wins
+# up to 2^11 rows (47%/42% per-stage SoL at 2^20/2^22); the fused kernel
+# wins from 2^12 rows where XLA's per-stage passes degrade (37.5 -> 31.6
+# ms at 2^24). Tests force the kernel via PLONKY2_TPU_PALLAS=interpret.
+COL_FFT_MIN_ROWS_LOG = 12
+
+
+def col_fft_enabled(k_log: int, shape) -> bool:
+    """Gate for ops.ntt._fft_rows: fused column kernel when on TPU (or
+    interpret mode for tests), the stage count fits VMEM, and the lane
+    axis is at least one native lane group."""
+    if not (3 <= k_log <= COL_FFT_MAX_LOG):
+        return False
+    if shape[-1] % _COL_LB:
+        return False
+    rows_log = log2_strict(shape[-2])
+    if rows_log < COL_FFT_MIN_ROWS_LOG and not interpret_mode():
+        return False
+    from ..parallel import context as _pctx
+
+    if _pctx.get_mesh() is not None:
+        return False
+    if os.environ.get("PLONKY2_TPU_PALLAS_NTT", "1") == "0":
+        return False
+    return use_pallas()
+
+
+@lru_cache(maxsize=None)
+def _col_tables(k_log: int, inverse: bool):
+    """T[s, r, 0] = w_s^(r mod 2^s) — the stage-s twiddle for the row-pair
+    butterfly at row r (same value at both partners, so the kernel stays
+    mask+roll based)."""
+    from . import ntt
+
+    tables = ntt._stage_roots_np(k_log, inverse)
+    n = 1 << k_log
+    lo = np.zeros((k_log, n, 1), dtype=np.uint32)
+    hi = np.zeros((k_log, n, 1), dtype=np.uint32)
+    for s, t in enumerate(tables):
+        t = np.asarray(t, dtype=np.uint64)  # length 2^s
+        tiled = np.tile(t, n // t.shape[0])
+        lo[s, :, 0] = (tiled & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi[s, :, 0] = (tiled >> np.uint64(32)).astype(np.uint32)
+    return lo, hi
+
+
+_SLICED_MIN_STAGE = 3  # half >= 8 keeps the (half, L) view sublane-tiled
+
+
+def _col_fft_body(k_log: int, first_stage: int,
+                  xlo_ref, xhi_ref, tlo_ref, thi_ref, olo_ref, ohi_ref):
+    """All stages in one VMEM residency. Early stages (half < 8 sublanes)
+    run mask+roll; from half = 8 up the [N, L] view reshapes freely to
+    [nb, 2, half, L] (the minor (half, L) tile stays aligned) and each
+    butterfly is one true mul per pair — no redundant twiddle work, no
+    lane shuffles, N/2 muls per stage like the host formulation."""
+    lo = xlo_ref[0]
+    hi = xhi_ref[0]
+    n, lanes = lo.shape
+    if first_stage < _SLICED_MIN_STAGE:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), dimension=0)
+    for s in range(first_stage, min(_SLICED_MIN_STAGE, k_log)):
+        half = 1 << s
+        is_hi = (row & half) != 0
+        w = (
+            jnp.broadcast_to(tlo_ref[s], (n, lanes)),
+            jnp.broadcast_to(thi_ref[s], (n, lanes)),
+        )
+        # roll along SUBLANES: roll(x, k, 0)[r] = x[(r-k) mod n]
+        v = (
+            jnp.where(is_hi, lo, pltpu.roll(lo, n - half, 0)),
+            jnp.where(is_hi, hi, pltpu.roll(hi, n - half, 0)),
+        )
+        u = (
+            jnp.where(is_hi, pltpu.roll(lo, half, 0), lo),
+            jnp.where(is_hi, pltpu.roll(hi, half, 0), hi),
+        )
+        t = gf.mul(v, w)
+        a = gf.add(u, t)
+        b = gf.sub(u, t)
+        lo = jnp.where(is_hi, b[0], a[0])
+        hi = jnp.where(is_hi, b[1], a[1])
+    for s in range(max(first_stage, _SLICED_MIN_STAGE), k_log):
+        half = 1 << s
+        nb = n >> (s + 1)
+        rlo = lo.reshape(nb, 2, half, lanes)
+        rhi = hi.reshape(nb, 2, half, lanes)
+        u = (rlo[:, 0], rhi[:, 0])
+        v = (rlo[:, 1], rhi[:, 1])
+        w = (
+            jnp.broadcast_to(tlo_ref[s, :half].reshape(1, half, 1), v[0].shape),
+            jnp.broadcast_to(thi_ref[s, :half].reshape(1, half, 1), v[1].shape),
+        )
+        t = gf.mul(v, w)
+        a = gf.add(u, t)
+        b = gf.sub(u, t)
+        lo = jnp.concatenate([a[0], b[0]], axis=1).reshape(n, lanes)
+        hi = jnp.concatenate([a[1], b[1]], axis=1).reshape(n, lanes)
+    olo_ref[0] = lo
+    ohi_ref[0] = hi
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _col_fft_call(x: gf.Gf, k_log: int, inverse: bool, first_stage: int,
+                  interpret: bool) -> gf.Gf:
+    lead = x[0].shape[:-2]
+    n, lanes = x[0].shape[-2:]
+    b = int(np.prod(lead)) if lead else 1
+    xlo = x[0].reshape(b, n, lanes)
+    xhi = x[1].reshape(b, n, lanes)
+    tlo, thi = _col_tables(k_log, inverse)
+    grid = (b, lanes // _COL_LB)
+    spec = pl.BlockSpec((1, n, _COL_LB), lambda i, j: (i, 0, j))
+    tspec = pl.BlockSpec((k_log, n, 1), lambda i, j: (0, 0, 0))
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, lanes), jnp.uint32),
+        jax.ShapeDtypeStruct((b, n, lanes), jnp.uint32),
+    )
+    olo, ohi = pl.pallas_call(
+        partial(_col_fft_body, k_log, first_stage),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[spec, spec, tspec, tspec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )(xlo, xhi, jnp.asarray(tlo), jnp.asarray(thi))
+    return olo.reshape(x[0].shape), ohi.reshape(x[1].shape)
+
+
+def col_fft(x: gf.Gf, k_log: int, inverse: bool,
+            first_stage: int = 0) -> gf.Gf:
+    """DFT along axis -2 of [..., N, L] (input bit-reversed along that
+    axis), all stages fused in VMEM. No 1/N scaling (callers handle)."""
+    return _col_fft_call(x, k_log, inverse, first_stage, interpret_mode())

@@ -285,9 +285,14 @@ def sharded_merkle_cap(
         out_specs = (P(None, None), P(None, None))
 
     spec = P(axis_name, None)
+    # check_vma=False: the replicated-ness of the post-all_gather cap
+    # reduction is real but jax's static varying-axis checker cannot
+    # infer it through the hash kernels (jax 0.9 rejects the out_specs
+    # otherwise; values are bit-identical either way, see test).
     shard_fn = jax.jit(
         jax.shard_map(
-            local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs
+            local, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
+            check_vma=False,
         )
     )
     sharding = NamedSharding(mesh, spec)

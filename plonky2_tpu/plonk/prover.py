@@ -365,16 +365,20 @@ def _natural_order_fn(mesh_key, step: int = 1):
 
     @jax.jit
     def natural_order_leaves(leaves):
-        perm = reverse_index_bits_perm(leaves[0].shape[0])
         if step != 1:
             # strided sub-LDE: natural points shift*w^(i*step) form the
             # lower-rate coset the quotient kernel consumes when
             # rate_bits > quotient_degree_bits (the reference's
             # get_lde_values(index, step), fri/oracle.rs:286-292) —
             # gathering every step-th natural row skips the rest entirely
-            perm = perm[::step]
-        lo = jnp.take(leaves[0], perm, axis=0).T
-        hi = jnp.take(leaves[1], perm, axis=0).T
+            perm = reverse_index_bits_perm(leaves[0].shape[0])[::step]
+            lo = jnp.take(leaves[0], perm, axis=0).T
+            hi = jnp.take(leaves[1], perm, axis=0).T
+        else:
+            from ..ops.bitrev import bitrev_axis
+
+            lo = bitrev_axis(leaves[0], axis=0).T
+            hi = bitrev_axis(leaves[1], axis=0).T
         # point-axis sharding: quotient constraint eval is pointwise
         # (prover.rs:720's par_chunks over LDE points)
         return pctx.constrain((lo, hi), cols)
