@@ -561,12 +561,28 @@ class CircuitBuilder(GadgetMixin):
             int(x) for x in gl.np_powers(gl.MULTIPLICATIVE_GROUP_GENERATOR, config.num_routed_wires)
         ]
 
-        forest = Forest(config.num_wires, degree, self.virtual_target_index)
-        for x, y in self.copy_constraints:
-            forest.merge(x, y)
-        forest.compress_paths()
-        partition = forest.wire_partition(config.num_routed_wires)
-        sigma_vecs = sigma_polys_from_partition(partition, degree, k_is, subgroup)
+        from .permutation import (
+            connected_partition,
+            flat_indices,
+            sigma_polys_vectorized,
+        )
+
+        num_nodes = config.num_wires * degree + self.virtual_target_index
+        edges_a = flat_indices(
+            [x for x, _ in self.copy_constraints], config.num_wires, degree
+        )
+        edges_b = flat_indices(
+            [y for _, y in self.copy_constraints], config.num_wires, degree
+        )
+        rep_parents = connected_partition(num_nodes, edges_a, edges_b)
+        sigma_vecs = sigma_polys_vectorized(
+            rep_parents,
+            degree,
+            config.num_wires,
+            config.num_routed_wires,
+            k_is,
+            subgroup,
+        )
 
         # 6. commit to constants + sigmas
         all_const_sigma = np.stack(
@@ -594,10 +610,11 @@ class CircuitBuilder(GadgetMixin):
             generators.extend(gens)
         generators.extend(self.simple_generators)
 
+        nw = config.num_wires
         by_watches: Dict[int, List[int]] = {}
         for gi, gen in enumerate(generators):
             for watch in gen.watch_list():
-                rep = forest.parents[forest.target_index(watch)]
+                rep = int(rep_parents[watch.flat_index(nw, degree)])
                 lst = by_watches.setdefault(rep, [])
                 if not lst or lst[-1] != gi:
                     lst.append(gi)
@@ -649,7 +666,7 @@ class CircuitBuilder(GadgetMixin):
             sigmas=sigmas_rows,
             subgroup=subgroup,
             public_inputs=self.public_inputs,
-            representative_map=forest.parents,
+            representative_map=rep_parents,
             circuit_digest=circuit_digest,
             gate_instances=self.gate_instances,
             lookup_rows=list(self.lookup_rows),
