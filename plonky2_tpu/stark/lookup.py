@@ -352,7 +352,29 @@ def eval_helper_columns(
             f0 = fs[0].eval_filter(local, nxt, A)
             consumer.constraint(A.sub(A.mul(combin, h), f0))
         else:
-            raise NotImplementedError("helper chunks of size > 2")
+            # general m-term chunk (degree > 3 configs):
+            #   h·Π_i combin_i = Σ_j f_j·Π_{i≠j} combin_i
+            # via prefix/suffix products, m-1 muls per side. The m ≤ 2
+            # branches above keep their historical op shapes (pinned by
+            # constraint-export drift tests); the reference only ships
+            # m = 2 (starky/src/lookup.rs:614) — this generalizes it.
+            combins = [challenge.combine(c, A) for c in chunk]
+            fvals = [f.eval_filter(local, nxt, A) for f in fs]
+            m = len(combins)
+            prefix = [None] * (m + 1)  # prefix[j] = Π_{i<j}
+            prefix[0] = A.one()
+            for j in range(m):
+                prefix[j + 1] = A.mul(prefix[j], combins[j])
+            suffix = [None] * (m + 1)  # suffix[j] = Π_{i>=j}
+            suffix[m] = A.one()
+            for j in range(m - 1, -1, -1):
+                suffix[j] = A.mul(combins[j], suffix[j + 1])
+            lhs = A.mul(prefix[m], h)
+            rhs = None
+            for j in range(m):
+                term = A.mul(fvals[j], A.mul(prefix[j], suffix[j + 1]))
+                rhs = term if rhs is None else A.add(rhs, term)
+            consumer.constraint(A.sub(lhs, rhs))
 
 
 def eval_lookups(stark, lookups, frame, lookup_vars: LookupCheckVars, consumer, A) -> None:
