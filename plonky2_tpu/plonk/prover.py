@@ -289,13 +289,20 @@ def _zs_and_partial_products_device(wires_dev, betas, gammas, prover_data, commo
     chunk = common.permutation_partial_product_degree()
     num_prods = common.num_partial_products
     wires = (wires_dev[0][:nr].T, wires_dev[1][:nr].T)  # [n, nr]
-    sigmas = gf.from_u64(np.ascontiguousarray(prover_data.sigmas))
-    s_id = gf.from_u64(
-        gl.np_mul(
-            np.array(common.k_is, dtype=np.uint64)[None, :],
-            prover_data.subgroup[:, None],
+    # witness-independent [n, nr] tables — memoized on the prover data
+    # (recomputing s_id cost ~0.1 s of host numpy per prove)
+    cached = getattr(prover_data, "_zs_tables", None)
+    if cached is None:
+        sigmas = gf.from_u64(np.ascontiguousarray(prover_data.sigmas))
+        s_id = gf.from_u64(
+            gl.np_mul(
+                np.array(common.k_is, dtype=np.uint64)[None, :],
+                prover_data.subgroup[:, None],
+            )
         )
-    )
+        cached = (sigmas, s_id)
+        prover_data._zs_tables = cached
+    sigmas, s_id = cached
     return _zs_device_fn(config.num_challenges, n, nr, chunk, num_prods)(
         wires, sigmas, s_id, betas, gammas
     )
@@ -444,6 +451,34 @@ def _natural_order_values(batch: fo.PolynomialBatch, step: int = 1) -> gf.Gf:
     return nat
 
 
+@lru_cache(maxsize=None)
+def _quotient_coset_constants(n_bits: int, qdb: int):
+    """(shifted_xs, zh_inv, l0) numpy u64 arrays over the quotient coset.
+
+    Z_H(shift*w^i) = shift^n * (w^i)^n - 1, periodic with period 2^qdb.
+    NOTE subtlety: evals indexed by i use subgroup(qdb) in *power* order
+    of w^(n*i) = v^i where v = primitive 2^qdb-th root; i % 2^qdb cycles.
+    """
+    n = 1 << n_bits
+    q_lde_n = n << qdb
+    pts = gl.two_adic_subgroup(n_bits + qdb)  # [q_lde_n]
+    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
+    shifted_xs = gl.np_mul(shift, pts)
+    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
+    zh_period = gl.np_sub(
+        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(qdb)), np.uint64(1)
+    )
+    zh = np.tile(zh_period, q_lde_n // (1 << qdb))
+    zh_inv = gl.np_batch_inverse(zh)
+    l0 = gl.np_mul(
+        zh,
+        gl.np_batch_inverse(
+            gl.np_mul(np.uint64(n % gl.P), gl.np_sub(shifted_xs, np.uint64(1)))
+        ),
+    )
+    return shifted_xs, zh_inv, l0
+
+
 def _compute_quotient_polys(
     common,
     prover_data,
@@ -469,25 +504,11 @@ def _compute_quotient_polys(
     q_lde_n = common.degree << qdb  # quotient-domain size (<= lde_size)
     n = common.degree
 
-    # host precomputations over the coset
-    pts = gl.two_adic_subgroup(n_bits + qdb)  # [q_lde_n]
-    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
-    shifted_xs = gl.np_mul(shift, pts)
-    # Z_H(shift*w^i) = shift^n * (w^i)^n - 1, periodic with period 2^qdb
-    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
-    zh_period = gl.np_sub(
-        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(qdb)), np.uint64(1)
-    )
-    zh = np.tile(zh_period, q_lde_n // (1 << qdb))
-    # NOTE subtlety: evals indexed by i use subgroup(qdb) in *power* order of
-    # w^(n*i) = v^i where v = primitive 2^qdb-th root; i % 2^qdb cycles ✓
-    zh_inv = gl.np_batch_inverse(zh)
-    l0 = gl.np_mul(
-        zh,
-        gl.np_batch_inverse(
-            gl.np_mul(np.uint64(n % gl.P), gl.np_sub(shifted_xs, np.uint64(1)))
-        ),
-    )
+    # host precomputations over the coset — witness-independent, so
+    # cached per (degree, qdb): the two 2^16-element batch inverses cost
+    # ~0.4 s of interpreted numpy PER PROVE otherwise (measured 55% of
+    # the warm device-transcript outer prove)
+    shifted_xs, zh_inv, l0 = _quotient_coset_constants(n_bits, qdb)
 
     cs_nat = _natural_order_values(prover_data.constants_sigmas_commitment, step)
     wires_nat = _natural_order_values(wires_commitment, step)
