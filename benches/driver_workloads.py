@@ -289,40 +289,45 @@ def _outer_circuit_cached(config, inner_cd, inner_log2: int):
 
 
 def stark(log2_rows: int = 22) -> None:
-    """FibonacciStark over a 2^log2_rows-row trace (BASELINE north star)."""
+    """FibonacciStark ladder up to 2^log2_rows rows (BASELINE north
+    star). Smaller sizes prove first so the slot ALWAYS records a
+    complete number (measured v5e: 2^22 cold 799 s / warm 261 s — far
+    over any driver slot; r4 recorded nothing for this workload)."""
     _init_jax()
     from plonky2_tpu.stark.config import StarkConfig
     from plonky2_tpu.stark.fixtures import FibonacciStark, fibonacci_res
     from plonky2_tpu.stark.prover import prove as sprove
     from plonky2_tpu.stark.verifier import verify_stark_proof
 
-    n = 1 << log2_rows
-    st = FibonacciStark(n)
     config = StarkConfig.standard_fast_config()
-    t0 = time.perf_counter()
-    trace = st.generate_trace(0, 1)
-    trace_s = time.perf_counter() - t0
-    pis = [0, 1, fibonacci_res(n, 0, 1)]
-    base = {"metric": f"fibonacci_stark_2^{log2_rows}_rows", "unit": "ms"}
-    _say({**base, "note": "trace generated; cold prove starting",
-          "trace_gen_s": round(trace_s, 1)})
-    t0 = time.perf_counter()
-    proof = sprove(st, config, trace, pis)
-    cold_s = time.perf_counter() - t0
-    _say({**base, "value": round(cold_s * 1e3, 1), "note": "cold only"})
-    t0 = time.perf_counter()
-    proof = sprove(st, config, trace, pis)
-    dt = time.perf_counter() - t0
-    verify_stark_proof(st, proof, config, log2_rows)
-    _say(
-        {
-            **base,
-            "value": round(dt * 1e3, 1),
-            "cold_s": round(cold_s, 1),
-            "trace_gen_s": round(trace_s, 1),
-            **_device_memory(),
-        }
-    )
+    sizes = [k for k in (log2_rows - 2, log2_rows) if k > 6]
+    for k in sizes:
+        n = 1 << k
+        st = FibonacciStark(n)
+        t0 = time.perf_counter()
+        trace = st.generate_trace(0, 1)
+        trace_s = time.perf_counter() - t0
+        pis = [0, 1, fibonacci_res(n, 0, 1)]
+        base = {"metric": f"fibonacci_stark_2^{k}_rows", "unit": "ms"}
+        _say({**base, "note": "trace generated; cold prove starting",
+              "trace_gen_s": round(trace_s, 1)})
+        t0 = time.perf_counter()
+        proof = sprove(st, config, trace, pis)
+        cold_s = time.perf_counter() - t0
+        _say({**base, "value": round(cold_s * 1e3, 1), "note": "cold only"})
+        t0 = time.perf_counter()
+        proof = sprove(st, config, trace, pis)
+        dt = time.perf_counter() - t0
+        verify_stark_proof(st, proof, config, k)
+        _say(
+            {
+                **base,
+                "value": round(dt * 1e3, 1),
+                "cold_s": round(cold_s, 1),
+                "trace_gen_s": round(trace_s, 1),
+                **_device_memory(),
+            }
+        )
 
 
 def _device_memory() -> dict:

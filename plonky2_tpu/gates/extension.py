@@ -376,6 +376,57 @@ class ReducingExtensionGate(Gate):
             acc = acc_new
         return out
 
+    def eval_unfiltered_device(self, vars: EvalVars, A) -> List:
+        """Batched device eval: every constraint is independent given the
+        wires (acc_{i+1} is a WIRE, not the computed value), so all
+        num_coeffs ext mul-adds run as ONE stacked [n, B] computation.
+        The generic per-coeff trace emitted ~8k XLA primitives (≈13-19 s
+        of cold trace per num_coeffs variant, and the recursive verifier
+        instantiates three variants); this emits a few hundred. Same
+        values, same constraint order (pinned by
+        gate_testing.check_algebra_agreement)."""
+        import jax.numpy as jnp
+
+        from ..ops import gf
+        from .ext_algebra import W as _W
+
+        w = vars.local_wires
+        n = self.num_coeffs
+        prev_rows = [list(self.wires_old_acc())] + [
+            list(self.wires_accs(i)) for i in range(n - 1)
+        ]
+        coeff_rows = [list(self.wires_coeff(i)) for i in range(n)]
+        acc_rows = [list(self.wires_accs(i)) for i in range(n)]
+
+        def gather(rows, comp):
+            return (
+                jnp.stack([w[r[comp]][0] for r in rows]),
+                jnp.stack([w[r[comp]][1] for r in rows]),
+            )  # [n, B]
+
+        a0, a1 = gather(prev_rows, 0), gather(prev_rows, 1)
+        alpha = [w[j] for j in self.wires_alpha()]
+
+        def bc(x, like):
+            return (
+                jnp.broadcast_to(x[0], like[0].shape),
+                jnp.broadcast_to(x[1], like[1].shape),
+            )
+
+        b0, b1 = bc(alpha[0], a0), bc(alpha[1], a0)
+        # (a0 + a1 x)(b0 + b1 x) = a0b0 + W a1b1 + (a0b1 + a1b0) x
+        c0 = gf.add(gf.mul(a0, b0), gf.mul_const(gf.mul(a1, b1), _W))
+        c1 = gf.add(gf.mul(a0, b1), gf.mul(a1, b0))
+        comp0 = gf.add(c0, gather(coeff_rows, 0))
+        comp1 = gf.add(c1, gather(coeff_rows, 1))
+        d0 = gf.sub(comp0, gather(acc_rows, 0))
+        d1 = gf.sub(comp1, gather(acc_rows, 1))
+        out = []
+        for i in range(n):
+            out.append((d0[0][i], d0[1][i]))
+            out.append((d1[0][i], d1[1][i]))
+        return out
+
     def generators(self, row: int, local_constants: Sequence[int]) -> List:
         return [ReducingExtensionGenerator(row, self.num_coeffs)]
 

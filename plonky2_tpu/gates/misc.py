@@ -65,6 +65,44 @@ class BaseSumGate(Gate):
             constraints.append(prod)
         return constraints
 
+    def eval_unfiltered_device(self, vars: EvalVars, A) -> List:
+        """Batched device eval: the recombination is a weighted sum
+        (exactly equal to the Horner chain over the field) and the
+        per-limb range products stack into one [num_limbs, B] pass —
+        ~200 traced primitives instead of ~8k from the 63-limb unrolled
+        chain (19.5 s of cold trace per prove). Same values, same
+        constraint order (gate_testing.check_algebra_agreement)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..field import goldilocks as gl
+        from ..ops import gf
+
+        w = vars.local_wires
+        idx = list(self.limbs())
+        limbs = (
+            jnp.stack([w[i][0] for i in idx]),
+            jnp.stack([w[i][1] for i in idx]),
+        )  # [L, B]
+        pows = gl.np_powers(self.base, self.num_limbs)  # base^i
+        weights = gf.from_u64(np.asarray(pows, dtype=np.uint64))
+        computed = gf.weighted_sum(limbs, weights)  # [B]
+        constraints = [gf.sub(computed, w[self.WIRE_SUM])]
+        prod = limbs
+        for i in range(1, self.base):
+            cminus = gf.from_u64(np.uint64(gl.P - i))
+            shifted = gf.add(
+                limbs,
+                (
+                    jnp.broadcast_to(cminus[0], limbs[0].shape),
+                    jnp.broadcast_to(cminus[1], limbs[1].shape),
+                ),
+            )
+            prod = gf.mul(prod, shifted)
+        for k in range(self.num_limbs):
+            constraints.append((prod[0][k], prod[1][k]))
+        return constraints
+
     def generators(self, row: int, local_constants: Sequence[int]) -> List:
         return [BaseSplitGenerator(row, self.num_limbs, self.base)]
 

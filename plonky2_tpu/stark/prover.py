@@ -52,6 +52,42 @@ def _ctl_entries_with_challenge_idx(ctl_data, ctl_challenges):
     return entries
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _stark_coset_constants(degree_bits: int, rate_bits: int):
+    """(xs, zh_inv, l_first, l_last, z_last) over the full-rate coset —
+    witness-independent, so cached per shape: the three lde_n-sized host
+    batch inverses cost ~18 s of interpreted numpy PER PROVE at 2^20
+    (measured 80% of the warm prove)."""
+    n = 1 << degree_bits
+    lde_n = n << rate_bits
+    pts = gl.two_adic_subgroup(degree_bits + rate_bits)
+    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
+    xs = gl.np_mul(shift, pts)
+    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
+    zh_period = gl.np_sub(
+        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(rate_bits)), np.uint64(1)
+    )
+    zh = np.tile(zh_period, lde_n // (1 << rate_bits))
+    zh_inv = gl.np_batch_inverse(zh)
+    n_mod = np.uint64(n % gl.P)
+    l_first = gl.np_mul(
+        zh, gl.np_batch_inverse(gl.np_mul(n_mod, gl.np_sub(xs, np.uint64(1))))
+    )
+    g = gl.primitive_root_of_unity(degree_bits)
+    l_last = gl.np_mul(
+        zh,
+        gl.np_batch_inverse(
+            gl.np_mul(n_mod, gl.np_sub(gl.np_mul(np.uint64(g), xs), np.uint64(1)))
+        ),
+    )
+    last = gl.gexp(g, n - 1)
+    z_last = gl.np_sub(xs, np.uint64(last))
+    return xs, zh_inv, l_first, l_last, z_last
+
+
 def _quotient_fn(
     stark: Stark,
     nc: int,
@@ -244,29 +280,9 @@ def compute_quotient_chunks(
     [num_columns, n << rate_bits] (zk masking already applied). Shared by
     the single-table prover and the batch-STARK prover."""
     n = 1 << degree_bits
-    lde_n = n << rate_bits
-    pts = gl.two_adic_subgroup(degree_bits + rate_bits)
-    shift = np.uint64(gl.MULTIPLICATIVE_GROUP_GENERATOR)
-    xs = gl.np_mul(shift, pts)
-    g_pow_n = gl.gexp(gl.MULTIPLICATIVE_GROUP_GENERATOR, n)
-    zh_period = gl.np_sub(
-        gl.np_mul(np.uint64(g_pow_n), gl.two_adic_subgroup(rate_bits)), np.uint64(1)
+    xs, zh_inv, l_first, l_last, z_last = _stark_coset_constants(
+        degree_bits, rate_bits
     )
-    zh = np.tile(zh_period, lde_n // (1 << rate_bits))
-    zh_inv = gl.np_batch_inverse(zh)
-    n_mod = np.uint64(n % gl.P)
-    l_first = gl.np_mul(
-        zh, gl.np_batch_inverse(gl.np_mul(n_mod, gl.np_sub(xs, np.uint64(1))))
-    )
-    g = gl.primitive_root_of_unity(degree_bits)
-    l_last = gl.np_mul(
-        zh,
-        gl.np_batch_inverse(
-            gl.np_mul(n_mod, gl.np_sub(gl.np_mul(np.uint64(g), xs), np.uint64(1)))
-        ),
-    )
-    last = gl.gexp(g, n - 1)
-    z_last = gl.np_sub(xs, np.uint64(last))
 
     qfn = _quotient_fn(
         stark,
