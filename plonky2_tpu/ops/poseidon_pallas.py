@@ -55,88 +55,6 @@ _RC_LO = (_RC & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
 _RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
 
 
-_CIRC = [17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20]  # MDS_MATRIX_CIRC
-# np (not jnp) scalars: jnp scalars created at import are jax Arrays and
-# pallas_call rejects kernels that close over device constants
-_M16 = np.uint32(0xFFFF)
-_S16 = np.uint32(16)
-
-
-def _mds_stacked(lo, hi):
-    """MDS over a stacked [12, S, L] state: out[r] = Σ_k circ[k]·x[(r+k)%12]
-    (+ 8·x[0] at r=0, the diag term) via 12 rolls of 16-bit half planes.
-    Same plane-arithmetic bounds as mds_lanes (products < 2^22, sums
-    < 2^26); ~50 traced ops instead of ~3000 — the unrolled per-lane MDS
-    made every per-shape kernel retrace cost ~5 s of cold prove."""
-    halves = (lo & _M16, lo >> _S16, hi & _M16, hi >> _S16)
-    acc = [None] * 4
-    for k in range(W):
-        c = np.uint32(_CIRC[k])
-        # k=0: no roll (Mosaic rejects the empty slice a 0-roll lowers to)
-        rolled = halves if k == 0 else [jnp.roll(h, -k, axis=0) for h in halves]
-        for i in range(4):
-            p = rolled[i] * c
-            acc[i] = p if acc[i] is None else acc[i] + p
-    # diag term: += 8 * x[0] planes at row 0 only
-    for i in range(4):
-        d0 = halves[i][0:1] * np.uint32(8)
-        acc[i] = jnp.concatenate([acc[i][0:1] + d0, acc[i][1:]], axis=0)
-    c0 = acc[0] & _M16
-    u1 = (acc[0] >> _S16) + (acc[1] & _M16)
-    u2 = (acc[1] >> _S16) + (acc[2] & _M16) + (u1 >> _S16)
-    u3 = (acc[2] >> _S16) + (acc[3] & _M16) + (u2 >> _S16)
-    u4 = (acc[3] >> _S16) + (u3 >> _S16)
-    w0 = c0 | ((u1 & _M16) << _S16)
-    w1 = (u2 & _M16) | ((u3 & _M16) << _S16)
-    w2 = u4
-    return gf.reduce128(w0, w1, w2, jnp.zeros_like(w2))
-
-
-def _permute_stacked(lo, hi, rcl_ref, rch_ref):
-    """30-round permutation over ONE stacked [12, S, L] limb-plane pair.
-
-    Values are identical to _permute_lanes (same round math, same plane
-    bounds); the stacked form exists because the per-lane body traced
-    ~7k jnp ops and every distinct pallas_call shape re-traces the body
-    — a 3-oracle commit pipeline spent ~270 s of cold prove re-tracing
-    Poseidon bodies. This form traces ~20x fewer ops."""
-
-    def _advance(r, carry, sbox_all: bool):
-        clo, chi = carry
-        # constant layer: per-lane scalar adds from SMEM
-        lanes = [
-            gf.add((clo[j], chi[j]), (rcl_ref[r, j], rch_ref[r, j]))
-            for j in range(W)
-        ]
-        xlo = jnp.stack([l[0] for l in lanes])
-        xhi = jnp.stack([l[1] for l in lanes])
-        if sbox_all:
-            xlo, xhi = _sbox7((xlo, xhi))
-        else:
-            s0 = _sbox7((xlo[0:1], xhi[0:1]))
-            xlo = jnp.concatenate([s0[0], xlo[1:]], axis=0)
-            xhi = jnp.concatenate([s0[1], xhi[1:]], axis=0)
-        return _mds_stacked(xlo, xhi)
-
-    carry = (lo, hi)
-    carry = jax.lax.fori_loop(
-        0, HALF_N_FULL_ROUNDS, partial(_advance, sbox_all=True), carry
-    )
-    carry = jax.lax.fori_loop(
-        HALF_N_FULL_ROUNDS,
-        HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS,
-        partial(_advance, sbox_all=False),
-        carry,
-    )
-    carry = jax.lax.fori_loop(
-        HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS,
-        N_ROUNDS,
-        partial(_advance, sbox_all=True),
-        carry,
-    )
-    return carry
-
-
 def _permute_lanes(ll, lh, rcl_ref, rch_ref):
     """30-round permutation over 12 (lo, hi) lane tiles held in VMEM.
 
@@ -175,22 +93,23 @@ def _permute_lanes(ll, lh, rcl_ref, rch_ref):
 
 
 def _permute_body(rcl_ref, rch_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref):
-    lo, hi = _permute_stacked(xlo_ref[:], xhi_ref[:], rcl_ref, rch_ref)
-    olo_ref[:] = lo
-    ohi_ref[:] = hi
+    # NOTE a stacked-[12, S, L] body with a circulant-roll MDS was tried
+    # here (2026-08-21): it traced ~20x fewer ops but Mosaic compiled the
+    # roll-in-scan kernel ~50x SLOWER (a single tree-level program went
+    # 10 s -> ~480 s of compile) and ran 1.8x slower — reverted.
+    ll = [xlo_ref[j] for j in range(W)]
+    lh = [xhi_ref[j] for j in range(W)]
+    ll, lh = _permute_lanes(ll, lh, rcl_ref, rch_ref)
+    for j in range(W):
+        olo_ref[j] = ll[j]
+        ohi_ref[j] = lh[j]
 
 
 def _sponge_body(
     w_in: int, cap_val: int, rcl_ref, rch_ref, xlo_ref, xhi_ref, olo_ref, ohi_ref
 ):
     """Overwrite-mode sponge over a [w_in, S, 128] input block: the state
-    never leaves VMEM between the ceil(w_in/8) absorb permutations.
-
-    Kept on the per-lane permutation (not _permute_stacked): leaf
-    hashing is ~95% of the prover's permutations and the per-lane MDS
-    runs ~1.8x faster (no roll traffic); only a handful of leaf widths
-    exist per prove, so its heavier trace is paid a few times, not once
-    per tree level."""
+    never leaves VMEM between the ceil(w_in/8) absorb permutations."""
     s, l = xlo_ref.shape[1], xlo_ref.shape[2]
     z = jnp.zeros((s, l), jnp.uint32)
     ll = [z] * W
