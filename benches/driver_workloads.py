@@ -230,22 +230,71 @@ def _inner_proof_cached(config, inner_log2: int):
     return pwp, vd, cd, "proved (golden saved)"
 
 
+_SLIM_PB_TAG = "slim_pb_v1"
+
+
+def _slim_commitment(data):
+    """Swap the constants/sigmas PolynomialBatch for a host-only stub
+    carrying just the coefficient planes. The LDE + Merkle tree are ~90%
+    of the pickle's bytes and are a pure device recomputation from the
+    coefficients (the same jitted programs the prover uses, so a warm
+    XLA cache makes rehydration a ~1 s dispatch). Returns the original
+    batch so the caller can restore the live object after pickling."""
+    import numpy as np
+
+    pb = data.prover_only.constants_sigmas_commitment
+    lo, hi = pb.polynomials
+    data.prover_only.constants_sigmas_commitment = (
+        _SLIM_PB_TAG,
+        np.asarray(lo),
+        np.asarray(hi),
+        pb.rate_bits,
+        pb.blinding,
+        pb.n_polys,
+        pb.merkle_tree.cap_height,
+    )
+    return pb
+
+
+def _rehydrate_commitment(data, hasher) -> None:
+    """Inverse of _slim_commitment: rebuild the PolynomialBatch from the
+    pickled coefficient planes (no-op on old-format fat pickles)."""
+    stub = data.prover_only.constants_sigmas_commitment
+    if not (isinstance(stub, tuple) and stub and stub[0] == _SLIM_PB_TAG):
+        return
+    import jax.numpy as jnp
+
+    from plonky2_tpu.fri.oracle import PolynomialBatch
+
+    _, lo, hi, rate_bits, blinding, n_polys, cap_height = stub
+    data.prover_only.constants_sigmas_commitment = PolynomialBatch.from_coeffs(
+        (jnp.asarray(lo), jnp.asarray(hi)),
+        rate_bits,
+        blinding,
+        cap_height,
+        hasher=hasher,
+        num_polys=n_polys,
+    )
+
+
 def _outer_circuit_cached(config, inner_cd, inner_log2: int):
     """The outer (recursive-verifier) circuit is a pure function of the
     inner common data, but its Python gadget construction costs minutes
     (~245 s of interpreted CircuitBuilder calls for a 2^12 inner) — far
-    over any bench slot. The built CircuitData is pickled to a
-    machine-local gitignored cache (pickle loads in 0.7 s; the reference
-    wire format round-trips the same data but its Python decoder costs
-    ~137 s — it stays the *interchange* format, tested separately, while
-    this cache is a local memo). Rebuilt transparently when absent or
-    stale. The witness targets (proof + verifier-data) are reconstructed
-    by replaying the virtual-target allocations on a throwaway builder —
-    allocation order is deterministic and independent of the gadget
-    graph."""
+    over any bench slot. The built CircuitData is pickled to an in-repo
+    cache (tools/bench_cache, committed: the slim gzip form is ~6 MB vs
+    the 70 MB fat pickle; pickle loads in ~1 s while the reference wire
+    format's Python decoder costs ~137 s — the wire format stays the
+    *interchange* format, tested separately; this cache is a memo).
+    Rebuilt transparently when absent or stale. The witness targets
+    (proof + verifier-data) are reconstructed by replaying the virtual-
+    target allocations on a throwaway builder — allocation order is
+    deterministic and independent of the gadget graph."""
+    import gzip
     import pickle
 
     from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.generic_config import poseidon_goldilocks_config
     from plonky2_tpu.plonk.proof_target import add_virtual_proof_with_pis
     from plonky2_tpu.plonk.recursive_verifier import (
         add_virtual_verifier_data,
@@ -266,10 +315,16 @@ def _outer_circuit_cached(config, inner_cd, inner_log2: int):
         vd_t = add_virtual_verifier_data(tb, cap_height)
         return pt, vd_t
 
+    def _open_maybe_gzip(p):
+        with open(p, "rb") as f:
+            magic = f.read(2)
+        return gzip.open(p, "rb") if magic == b"\x1f\x8b" else open(p, "rb")
+
     if os.path.exists(path):
         try:
-            with open(path, "rb") as f:
+            with _open_maybe_gzip(path) as f:
                 data = pickle.load(f)
+            _rehydrate_commitment(data, poseidon_goldilocks_config().hasher)
             pt, vd_t = alloc_targets()
             return data, pt, vd_t, "loaded from cache"
         except Exception as e:
@@ -281,8 +336,12 @@ def _outer_circuit_cached(config, inner_cd, inner_log2: int):
     data = b.build()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(data, f)
+        live_pb = _slim_commitment(data)
+        try:
+            with gzip.open(path, "wb", compresslevel=6) as f:
+                pickle.dump(data, f)
+        finally:
+            data.prover_only.constants_sigmas_commitment = live_pb
     except Exception:
         pass  # caching is best-effort
     return data, pt, vd_t, "built (cache saved)"
