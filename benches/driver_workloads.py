@@ -73,16 +73,56 @@ def _init_jax():
     return jax
 
 
+def _fib_circuit_cached():
+    """Memoized build_fibonacci(public_io=False): the circuit is shared
+    by the host- and device-transcript workloads, so the interpreted
+    build (~40-90 s) is paid once ever and the slim pickle (committed,
+    tools/bench_cache) restores it in ~1 s on a fresh checkout. Same
+    slim/rehydrate mechanism as the recursive outer memo."""
+    import gzip
+    import pickle
+
+    from plonky2_tpu.models.fibonacci import build_fibonacci
+    from plonky2_tpu.plonk.generic_config import poseidon_goldilocks_config
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "bench_cache",
+        "fib.pkl",
+    )
+    if os.path.exists(path):
+        try:
+            with gzip.open(path, "rb") as f:
+                data, pw = pickle.load(f)
+            _rehydrate_commitment(data, poseidon_goldilocks_config().hasher)
+            return data, pw, "loaded from cache"
+        except Exception as e:
+            _say({"note": f"fib cache unusable ({type(e).__name__}); rebuilding"})
+    data, pw = build_fibonacci(public_io=False)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        live_pb = _slim_commitment(data)
+        try:
+            with gzip.open(path, "wb", compresslevel=6) as f:
+                pickle.dump((data, pw), f)
+        finally:
+            data.prover_only.constants_sigmas_commitment = live_pb
+    except Exception:
+        pass  # caching is best-effort
+    return data, pw, "built (cache saved)"
+
+
 def fib(device_transcript: bool) -> None:
     """End-to-end fibonacci prove (examples/fibonacci.rs). Headline."""
     os.environ["PLONKY2_TPU_DEVICE_TRANSCRIPT"] = "1" if device_transcript else "0"
     _init_jax()
-    from plonky2_tpu.models.fibonacci import build_fibonacci
 
     _say({"note": "building circuit"})
     t0 = time.perf_counter()
-    data, pw = build_fibonacci(public_io=False)
+    data, pw, how = _fib_circuit_cached()
     build_s = time.perf_counter() - t0
+    _say({"note": f"fib circuit {how}"})
     _say({"note": "built; cold prove starting", "build_s": round(build_s, 1)})
     t0 = time.perf_counter()
     proof = data.prove(pw)
